@@ -1,0 +1,81 @@
+"""Typed configuration (replaces the reference's ~50-flag argparse namespace,
+/root/reference/train_gpu.py:33-184). Flat dataclasses, JSON-serialisable."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class ModelConfig:
+    backbone: str = "mit_b0"
+    head: str = "segformerhead"
+    num_classes: int = 21
+    embed_dim: Optional[int] = None  # None -> default_embed_dim rule
+    compute_dtype: str = "bfloat16"
+    pretrained_backbone: Optional[str] = None
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "voc"
+    data_root: str = "./data"
+    img_size: int = 512
+    batch_size: int = 4  # per-host batch (global = batch * hosts)
+    val_batch_size: int = 1
+    num_workers: int = 4
+    ignore_index: int = 255
+    # augmentation knobs (ref build_datasets.py:14-29)
+    color_jitter: float = 0.5
+    scale_range: Tuple[float, float] = (0.5, 2.0)
+    hflip: bool = True
+
+
+@dataclass
+class OptimConfig:
+    opt: str = "adamw"
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    momentum: float = 0.9
+    sched: str = "cosine"
+    warmup_steps: int = 1500
+    warmup_lr: float = 1e-6
+    min_lr: float = 1e-5
+    clip_grad: Optional[float] = 0.02
+    clip_mode: str = "agc"  # 'agc' | 'norm' | 'value' (ref engine.py:50-53)
+    epochs: int = 100
+
+
+@dataclass
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss_type: str = "ce"
+    use_dice: bool = True  # ref engine.py:10-15 composite
+    seed: int = 0
+    output_dir: str = "./output"
+    resume: bool = True
+    eval_interval: int = 1
+    print_freq: int = 50
+    mesh_shape: Optional[Tuple[int, int]] = None  # (dp, tp); None -> all-data
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TrainConfig":
+        d = json.loads(s)
+        return TrainConfig(
+            model=ModelConfig(**d.get("model", {})),
+            data=DataConfig(**{k: tuple(v) if isinstance(v, list) else v for k, v in d.get("data", {}).items()}),
+            optim=OptimConfig(**d.get("optim", {})),
+            **{
+                k: (tuple(v) if k == "mesh_shape" and v is not None else v)
+                for k, v in d.items()
+                if k not in ("model", "data", "optim")
+            },
+        )

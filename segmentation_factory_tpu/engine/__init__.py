@@ -1,0 +1,13 @@
+from segmentation_factory_tpu.engine.state import (  # noqa: F401
+    TrainState,
+    create_optimizer,
+    create_train_state,
+)
+from segmentation_factory_tpu.engine.steps import (  # noqa: F401
+    compute_loss,
+    eval_step,
+    make_eval_step,
+    make_train_step,
+    predict_step,
+    train_step,
+)

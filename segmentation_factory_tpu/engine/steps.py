@@ -1,0 +1,130 @@
+"""Jitted train / eval steps.
+
+The SPMD rebuild of /root/reference/engine.py: instead of a Python loop body
+with DDP hooks and a GradScaler, each step is one pure function jitted over
+the device mesh. The batch arrives sharded over the 'data' axis; params are
+replicated (or TP-sharded); XLA inserts the gradient all-reduce. Metric
+accumulators (loss sums, confusion matrix) are part of the step outputs and
+live on device — the psum that torch did explicitly (engine.py:100-101) is
+implicit in the replicated output sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from segmentation_factory_tpu import losses as L
+from segmentation_factory_tpu.engine.state import TrainState
+from segmentation_factory_tpu.metrics import update_confusion_matrix
+
+AUX_WEIGHTS = (1.0, 0.4, 0.4)  # ref util/losses.py:28-41 aux tuple weights
+
+
+def compute_loss(
+    logits,
+    labels,
+    ignore_index: int = 255,
+    loss_type: str = "ce",
+    use_dice: bool = True,
+) -> jax.Array:
+    if isinstance(logits, (tuple, list)):
+        total = jnp.zeros((), jnp.float32)
+        for w, lg in zip(AUX_WEIGHTS, logits):
+            total = total + w * L.criterion(
+                lg, labels, ignore_index, use_dice=use_dice, loss_type=loss_type
+            )
+        return total
+    return L.criterion(
+        logits, labels, ignore_index, use_dice=use_dice, loss_type=loss_type
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    *,
+    ignore_index: int = 255,
+    loss_type: str = "ce",
+    use_dice: bool = True,
+    learning_rate_fn: Optional[Callable] = None,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One optimizer update. batch = {'image': (B,H,W,3) f32, 'label': (B,H,W) i32}."""
+    step_rng = jax.random.fold_in(rng, state.step)
+    d_rng, p_rng = jax.random.split(step_rng)
+
+    def loss_fn(params):
+        variables = {"params": params}
+        mutable = []
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            mutable = ["batch_stats"]
+        out = state.apply_fn(
+            variables,
+            batch["image"],
+            train=True,
+            rngs={"dropout": d_rng, "droppath": p_rng},
+            mutable=mutable,
+        )
+        logits, new_vars = out if mutable else (out, {})
+        loss = compute_loss(
+            logits, batch["label"], ignore_index, loss_type, use_dice
+        )
+        return loss, new_vars.get("batch_stats", state.batch_stats)
+
+    (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads, batch_stats=new_bs)
+    metrics = {"loss": loss}
+    if learning_rate_fn is not None:
+        metrics["lr"] = learning_rate_fn(state.step)
+    # Non-finite loss: the reference aborts the process (engine.py:45-47).
+    # SPMD-friendly version: skip the update, surface the flag to the host.
+    bad = ~jnp.isfinite(loss)
+    new_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(bad, old, new) if hasattr(new, "dtype") else new,
+        new_state,
+        state.replace(step=state.step + 1),
+    )
+    metrics["skipped_nonfinite"] = bad.astype(jnp.int32)
+    return new_state, metrics
+
+
+def eval_step(
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+    hist: jax.Array,
+    *,
+    ignore_index: int = 255,
+) -> jax.Array:
+    """Accumulate the (C, C) confusion matrix on device (fp32 forward,
+    matching the reference's autocast-off eval, engine.py:88)."""
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    logits = state.apply_fn(variables, batch["image"], train=False)
+    if isinstance(logits, (tuple, list)):
+        logits = logits[0]
+    return update_confusion_matrix(hist, logits, batch["label"], ignore_index)
+
+
+def make_train_step(**kwargs) -> Callable:
+    return functools.partial(train_step, **kwargs)
+
+
+def make_eval_step(**kwargs) -> Callable:
+    return functools.partial(eval_step, **kwargs)
+
+
+def predict_step(state: TrainState, images: jax.Array) -> jax.Array:
+    """argmax segmentation map for a batch (inference path)."""
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    logits = state.apply_fn(variables, images, train=False)
+    if isinstance(logits, (tuple, list)):
+        logits = logits[0]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -1,0 +1,203 @@
+"""Segmentation losses as pure jit-friendly functions.
+
+TPU-native rebuild of /root/reference/util/losses.py and the engine-side dice
+helpers (losses.py:126-177). All functions take
+
+- ``logits``: (B, H, W, C) float (any dtype; upcast to fp32 internally),
+- ``labels``: (B, H, W) int32 with ``ignore_index`` marking void pixels,
+
+and return a scalar fp32 loss. Ignore handling is via masking (no boolean
+indexing — shapes stay static for XLA). OHEM's data-dependent top-k floor
+(reference losses.py:52-61) is reformulated with a full sort + rank mask,
+which is jit-compatible with a traced ``n_min``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _flatten(logits: Array, labels: Array):
+    c = logits.shape[-1]
+    return logits.reshape(-1, c).astype(jnp.float32), labels.reshape(-1)
+
+
+def _per_pixel_ce(
+    logits2d: Array,
+    labels1d: Array,
+    ignore_index: int,
+    class_weights: Optional[Array] = None,
+    label_smoothing: float = 0.0,
+):
+    """Per-pixel CE (fp32), validity mask, and per-pixel weight."""
+    c = logits2d.shape[-1]
+    valid = labels1d != ignore_index
+    safe = jnp.where(valid, labels1d, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits2d, axis=-1)
+    picked = jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    if label_smoothing > 0.0:
+        smooth = jnp.mean(logp, axis=-1)
+        picked = (1.0 - label_smoothing) * picked + label_smoothing * smooth
+    loss = -picked
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[safe]
+    else:
+        w = jnp.ones_like(loss)
+    w = jnp.where(valid, w, 0.0)
+    return loss, valid, w
+
+
+def cross_entropy(
+    logits: Array,
+    labels: Array,
+    ignore_index: int = 255,
+    class_weights: Optional[Array] = None,
+    label_smoothing: float = 0.0,
+) -> Array:
+    """Masked softmax cross-entropy (ref losses.py:28-41 main branch)."""
+    l2, l1 = _flatten(logits, labels)
+    loss, _, w = _per_pixel_ce(l2, l1, ignore_index, class_weights, label_smoothing)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def ohem_cross_entropy(
+    logits: Array,
+    labels: Array,
+    ignore_index: int = 255,
+    thresh: float = 0.7,
+    min_kept_ratio: float = 1.0 / 16.0,
+) -> Array:
+    """Online hard-example mining CE (ref losses.py:44-66).
+
+    Keeps pixels whose loss exceeds ``-log(thresh)``, but at least
+    ``n_min = valid_pixels * min_kept_ratio`` hardest pixels. The reference's
+    ``topk`` floor becomes: sort losses descending, keep rank < n_min.
+    """
+    l2, l1 = _flatten(logits, labels)
+    loss, valid, w = _per_pixel_ce(l2, l1, ignore_index)
+    loss_thresh = -jnp.log(jnp.asarray(thresh, jnp.float32))
+    masked_loss = jnp.where(valid, loss, -jnp.inf)
+    n_valid = jnp.sum(valid)
+    n_min = (n_valid.astype(jnp.float32) * min_kept_ratio).astype(jnp.int32)
+    # rank[i] = position of pixel i in descending-loss order
+    order = jnp.argsort(-masked_loss)
+    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    keep = valid & ((loss > loss_thresh) | (rank < n_min))
+    kw = keep.astype(jnp.float32) * w
+    return jnp.sum(loss * kw) / jnp.maximum(jnp.sum(kw), 1.0)
+
+
+def focal_loss(
+    logits: Array,
+    labels: Array,
+    ignore_index: int = 255,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> Array:
+    """Multi-class focal loss (ref losses.py:9-25): alpha*(1-p)^gamma * CE."""
+    l2, l1 = _flatten(logits, labels)
+    ce, _, w = _per_pixel_ce(l2, l1, ignore_index)
+    pt = jnp.exp(-ce)
+    loss = alpha * (1.0 - pt) ** gamma * ce
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _one_hot_ignore(labels1d: Array, num_classes: int, ignore_index: int):
+    valid = labels1d != ignore_index
+    safe = jnp.where(valid, labels1d, 0).astype(jnp.int32)
+    oh = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+    return oh * valid[:, None].astype(jnp.float32), valid
+
+
+def dice_loss(
+    logits: Array,
+    labels: Array,
+    ignore_index: int = 255,
+    smooth: float = 1.0,
+) -> Array:
+    """Multiclass soft-dice over softmax probabilities.
+
+    Mirrors the engine-side dice (ref losses.py:141-177: per-class dice
+    averaged over classes, ignore pixels excluded via one-hot masking,
+    ref build_target losses.py:126-138).
+    """
+    num_classes = logits.shape[-1]
+    l2, l1 = _flatten(logits, labels)
+    probs = jax.nn.softmax(l2, axis=-1)
+    target, valid = _one_hot_ignore(l1, num_classes, ignore_index)
+    probs = probs * valid[:, None].astype(jnp.float32)
+    inter = jnp.sum(probs * target, axis=0)
+    denom = jnp.sum(probs, axis=0) + jnp.sum(target, axis=0)
+    dice = (2.0 * inter + smooth) / (denom + smooth)
+    return 1.0 - jnp.mean(dice)
+
+
+def tversky_dice_loss(
+    logits: Array,
+    labels: Array,
+    ignore_index: int = 255,
+    delta: float = 0.5,
+    smooth: float = 1e-6,
+) -> Array:
+    """Tversky-delta dice (ref losses.py:69-95 ``Dice``): asymmetric FP/FN weights."""
+    num_classes = logits.shape[-1]
+    l2, l1 = _flatten(logits, labels)
+    probs = jax.nn.softmax(l2, axis=-1)
+    target, valid = _one_hot_ignore(l1, num_classes, ignore_index)
+    vm = valid[:, None].astype(jnp.float32)
+    probs = probs * vm
+    tp = jnp.sum(probs * target, axis=0)
+    fn = jnp.sum(target * (1.0 - probs), axis=0)
+    fp = jnp.sum((1.0 - target) * vm * probs, axis=0)
+    score = (tp + smooth) / (tp + delta * fn + (1.0 - delta) * fp + smooth)
+    return 1.0 - jnp.mean(score)
+
+
+def dice_bce_loss(
+    logits: Array,
+    labels: Array,
+    ignore_index: int = 255,
+) -> Array:
+    """CE + dice combo (ref losses.py:98-114 DiceBCELoss, multiclass form)."""
+    return cross_entropy(logits, labels, ignore_index) + dice_loss(
+        logits, labels, ignore_index
+    )
+
+
+def criterion(
+    logits: Array,
+    labels: Array,
+    ignore_index: int = 255,
+    use_dice: bool = True,
+    loss_type: str = "ce",
+) -> Array:
+    """Composite training loss (ref engine.py:10-15: CE + multiclass dice)."""
+    base = get_loss(loss_type)(logits, labels, ignore_index=ignore_index)
+    if use_dice:
+        base = base + dice_loss(logits, labels, ignore_index=ignore_index)
+    return base
+
+
+LOSSES = {
+    "ce": cross_entropy,
+    "crossentropy": cross_entropy,
+    "ohem": ohem_cross_entropy,
+    "ohemcrossentropy": ohem_cross_entropy,
+    "focal": focal_loss,
+    "dice": dice_loss,
+    "tversky": tversky_dice_loss,
+    "dicebce": dice_bce_loss,
+}
+
+
+def get_loss(name: str):
+    """Name registry (ref losses.py:118-122)."""
+    key = name.lower().replace("_", "")
+    if key not in LOSSES:
+        raise KeyError(f"unknown loss {name!r}; available: {sorted(LOSSES)}")
+    return LOSSES[key]

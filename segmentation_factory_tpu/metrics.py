@@ -1,0 +1,127 @@
+"""Streaming segmentation metrics as device-resident arrays.
+
+Rebuild of /root/reference/util/metrics.py + util/utils.py:94-143
+(ConfusionMatrix). The accumulator is a (C, C) int64... on TPU we use int32
+histograms per step summed into a fp64-safe uint32? — int32 overflows at
+2^31 pixels per cell, so the running total is kept in ``jnp.int64``-equivalent
+via float64-free uint: we accumulate in ``jnp.uint32`` per step and running
+``jnp.float32`` totals would lose precision, so the running hist is int32 per
+step and summed on host as numpy int64 OR kept on device as int32 when the
+epoch pixel count < 2^31 (true for every reference config). We keep it simple:
+device int32 step hist, device int32 running hist (eval sets are < 2^31 px).
+
+Cross-host merge is a ``jax.lax.psum`` inside the jitted eval step (replacing
+torch.distributed.all_reduce, ref utils.py:125-131).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def confusion_matrix(
+    preds: Array, labels: Array, num_classes: int, ignore_index: int = 255
+) -> Array:
+    """(C, C) histogram: rows = ground truth, cols = prediction.
+
+    Port of the bincount trick (ref util/utils.py:99-109):
+    ``hist += bincount(C * t[keep] + p[keep])`` — here masking instead of
+    boolean indexing keeps shapes static: invalid pixels are routed to a
+    scratch bin and dropped.
+    """
+    t = labels.reshape(-1).astype(jnp.int32)
+    p = preds.reshape(-1).astype(jnp.int32)
+    valid = (t >= 0) & (t < num_classes) & (t != ignore_index)
+    idx = jnp.where(valid, t * num_classes + p, num_classes * num_classes)
+    hist = jnp.bincount(idx, length=num_classes * num_classes + 1)[:-1]
+    return hist.reshape(num_classes, num_classes).astype(jnp.int32)
+
+
+def update_confusion_matrix(
+    hist: Array, logits: Array, labels: Array, ignore_index: int = 255
+) -> Array:
+    """hist += confusion(argmax(logits), labels). logits NHWC."""
+    num_classes = hist.shape[0]
+    preds = jnp.argmax(logits, axis=-1)
+    return hist + confusion_matrix(preds, labels, num_classes, ignore_index)
+
+
+def compute_metrics(hist) -> Dict[str, float]:
+    """IoU/F1/acc from the (C, C) hist with NaN-skip mean.
+
+    Mirrors ref util/metrics.py:30-49 (compute_iou/compute_f1/
+    compute_pixel_acc) and util/utils.py:115-123.
+    """
+    h = np.asarray(hist, dtype=np.float64)
+    tp = np.diag(h)
+    gt = h.sum(axis=1)
+    pred = h.sum(axis=0)
+    union = gt + pred - tp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = tp / union
+        f1 = 2.0 * tp / (gt + pred)
+        acc_per_class = tp / gt
+    present = gt > 0
+    miou = float(np.nanmean(np.where(present, iou, np.nan))) if present.any() else 0.0
+    mf1 = float(np.nanmean(np.where(present, f1, np.nan))) if present.any() else 0.0
+    macc = (
+        float(np.nanmean(np.where(present, acc_per_class, np.nan)))
+        if present.any()
+        else 0.0
+    )
+    total = h.sum()
+    pix_acc = float(tp.sum() / total) if total > 0 else 0.0
+    return {
+        "mIoU": 100.0 * miou,
+        "mF1": 100.0 * mf1,
+        "mAcc": 100.0 * macc,
+        "aAcc": 100.0 * pix_acc,
+        "ious": (100.0 * iou).tolist(),
+        "f1s": (100.0 * f1).tolist(),
+    }
+
+
+def dice_per_case(preds: Array, labels: Array, num_classes: int) -> Array:
+    """Per-class dice for one volume/case (Synapse-style eval, BASELINE cfg #4)."""
+    p = preds.reshape(-1)
+    t = labels.reshape(-1)
+    oh_p = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+    oh_t = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
+    inter = jnp.sum(oh_p * oh_t, axis=0)
+    denom = jnp.sum(oh_p, axis=0) + jnp.sum(oh_t, axis=0)
+    return jnp.where(denom > 0, 2.0 * inter / denom, 1.0)
+
+
+def mask_iou(pred_mask: Array, gt_mask: Array) -> Array:
+    """Binary mask IoU (ref util/metrics.py:236-245)."""
+    p = pred_mask.astype(jnp.bool_).reshape(-1)
+    t = gt_mask.astype(jnp.bool_).reshape(-1)
+    inter = jnp.sum(p & t)
+    union = jnp.sum(p | t)
+    return jnp.where(union > 0, inter / union, 0.0).astype(jnp.float32)
+
+
+def panoptic_quality(hist) -> Dict[str, float]:
+    """PQ/SQ/RQ via greedy IoU>0.5 matching on the semantic confusion matrix.
+
+    Semantic-segmentation analogue of ref util/metrics.py:51-106: a class is
+    "matched" when its IoU exceeds 0.5; SQ = mean matched IoU, RQ = matched
+    fraction, PQ = SQ * RQ.
+    """
+    h = np.asarray(hist, dtype=np.float64)
+    tp = np.diag(h)
+    union = h.sum(1) + h.sum(0) - tp
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, tp / union, 0.0)
+    present = h.sum(1) > 0
+    matched = (iou > 0.5) & present
+    n_present = max(int(present.sum()), 1)
+    sq = float(iou[matched].mean()) if matched.any() else 0.0
+    rq = float(matched.sum()) / n_present
+    return {"PQ": 100.0 * sq * rq, "SQ": 100.0 * sq, "RQ": 100.0 * rq}

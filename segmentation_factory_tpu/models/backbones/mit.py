@@ -1,0 +1,188 @@
+"""MiT (SegFormer encoder), TPU-native.
+
+Capability parity with /root/reference/models/backbones/mit.py (overlapping
+patch embeds mit.py:102-131, spatial-reduction attention :10-59, Mix-FFN
+:74-99, variants B0-B5 :149-156) — redesigned for TPU:
+
+- NHWC end-to-end; the sequence view for attention is a reshape, not a
+  permute, so XLA keeps one layout.
+- Spatial-reduction attention computes Q @ K^T on the MXU with KV reduced by
+  a strided conv (sr_ratio in {8,4,2,1}) — the flash-attention-style fusion
+  is unnecessary at these KV lengths because SRA already caps KV at (N/sr^2).
+- bf16 compute / fp32 params; softmax in fp32 for stability.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from segmentation_factory_tpu.models.layers import DropPath, drop_path_rates
+from segmentation_factory_tpu.registry import register_backbone
+
+MIT_SETTINGS = {
+    # name: (embed_dims, depths)  — ref mit.py:149-156
+    "b0": ([32, 64, 160, 256], [2, 2, 2, 2]),
+    "b1": ([64, 128, 320, 512], [2, 2, 2, 2]),
+    "b2": ([64, 128, 320, 512], [3, 4, 6, 3]),
+    "b3": ([64, 128, 320, 512], [3, 4, 18, 3]),
+    "b4": ([64, 128, 320, 512], [3, 8, 27, 3]),
+    "b5": ([64, 128, 320, 512], [3, 6, 40, 3]),
+}
+_HEADS = (1, 2, 5, 8)
+_SR = (8, 4, 2, 1)
+
+
+class SRAttention(nn.Module):
+    """Spatial-reduction attention (ref mit.py:10-59).
+
+    KV come from a sr x sr strided conv over the NHWC map, so attention cost
+    is N * (N / sr^2) — the reference's algorithmic answer to long sequences
+    (SURVEY.md §5.7); maps directly onto big MXU matmuls.
+    """
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, W, C)
+        b, h, w, c = x.shape
+        n = h * w
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x).reshape(
+            b, n, self.num_heads, head_dim
+        )
+        kv_in = x
+        if self.sr_ratio > 1:
+            kv_in = nn.Conv(
+                self.dim,
+                (self.sr_ratio, self.sr_ratio),
+                strides=(self.sr_ratio, self.sr_ratio),
+                dtype=self.dtype,
+                name="sr",
+            )(x)
+            kv_in = nn.LayerNorm(dtype=self.dtype, name="sr_norm")(kv_in)
+        m = kv_in.shape[1] * kv_in.shape[2]
+        kv = nn.Dense(self.dim * 2, dtype=self.dtype, name="kv")(kv_in).reshape(
+            b, m, 2, self.num_heads, head_dim
+        )
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    """Mix-FFN: Dense -> 3x3 depthwise conv -> GELU -> Dense (ref mit.py:74-99)."""
+
+    hidden: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        c = x.shape[-1]
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        y = nn.Conv(
+            self.hidden,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            feature_group_count=self.hidden,
+            dtype=self.dtype,
+            name="dwconv",
+        )(y)
+        y = nn.gelu(y)
+        return nn.Dense(c, dtype=self.dtype, name="fc2")(y)
+
+
+class MiTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    drop_path: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dp = DropPath(self.drop_path)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = SRAttention(self.dim, self.num_heads, self.sr_ratio, dtype=self.dtype)(y)
+        x = x + dp(y, deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = MixFFN(self.dim * 4, dtype=self.dtype)(y)
+        return x + dp(y, deterministic)
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Overlapping patch embed: k x k conv stride s, SAME-ish pad, LN (ref :102-131)."""
+
+    dim: int
+    patch: int
+    stride: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch // 2
+        x = nn.Conv(
+            self.dim,
+            (self.patch, self.patch),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            dtype=self.dtype,
+        )(x)
+        return nn.LayerNorm(dtype=self.dtype)(x)
+
+
+class MiT(nn.Module):
+    """4-stage hierarchical encoder returning a 4-level NHWC pyramid."""
+
+    embed_dims: Sequence[int]
+    depths: Sequence[int]
+    drop_path_rate: float = 0.1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        det = not train
+        dprs = drop_path_rates(self.drop_path_rate, self.depths)
+        feats = []
+        for i, (dim, depth) in enumerate(zip(self.embed_dims, self.depths)):
+            x = OverlapPatchEmbed(
+                dim,
+                patch=7 if i == 0 else 3,
+                stride=4 if i == 0 else 2,
+                dtype=self.dtype,
+                name=f"patch_embed{i + 1}",
+            )(x)
+            for j in range(depth):
+                x = MiTBlock(
+                    dim,
+                    _HEADS[i],
+                    _SR[i],
+                    drop_path=dprs[i][j],
+                    dtype=self.dtype,
+                    name=f"block{i + 1}_{j}",
+                )(x, deterministic=det)
+            x = nn.LayerNorm(dtype=self.dtype, name=f"norm{i + 1}")(x)
+            feats.append(x)
+        return feats
+
+
+def _make_mit(variant: str):
+    def factory(dtype: Any = jnp.bfloat16, **kwargs):
+        dims, depths = MIT_SETTINGS[variant]
+        return MiT(embed_dims=dims, depths=depths, dtype=dtype, **kwargs), list(dims)
+
+    return factory
+
+
+for _v in MIT_SETTINGS:
+    register_backbone(f"mit_{_v}")(_make_mit(_v))

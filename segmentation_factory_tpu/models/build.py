@@ -1,0 +1,93 @@
+"""SegmentationModel: backbone x head composer.
+
+Parity with /root/reference/models/build_models.py:17-66, minus the string
+``eval`` factory (registry dicts instead) and the forward-time adapter hack
+(segformer.py:52-54). Forward = backbone -> decode head -> bilinear upsample
+of logits back to the input resolution (ref build_models.py:62-66).
+
+The head embed dim follows the reference's rule (build_models.py:53):
+128 for 'tiny'/'small'-flavoured backbones, 768 otherwise — overridable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from segmentation_factory_tpu.models.layers import resize
+from segmentation_factory_tpu.registry import get_backbone, get_head
+
+
+def default_embed_dim(backbone_name: str) -> int:
+    name = backbone_name.lower()
+    if any(t in name for t in ("tiny", "small", "_t", "_s", "b0", "b1", "xs", "035")):
+        return 128
+    return 768
+
+
+class SegmentationModel(nn.Module):
+    """Composed segmentation network. NHWC in, (B, H, W, num_classes) fp32 out."""
+
+    backbone_name: str
+    head_name: str
+    num_classes: int
+    embed_dim: Optional[int] = None
+    dtype: Any = jnp.bfloat16
+    backbone_kwargs: Any = None
+    head_kwargs: Any = None
+
+    def setup(self):
+        bkw = dict(self.backbone_kwargs or {})
+        self.backbone, channels = get_backbone(
+            self.backbone_name, dtype=self.dtype, **bkw
+        )
+        self.feature_channels = channels
+        hkw = dict(self.head_kwargs or {})
+        embed = self.embed_dim or default_embed_dim(self.backbone_name)
+        self.decode_head = get_head(
+            self.head_name,
+            channels=channels,
+            num_classes=self.num_classes,
+            embed_dim=embed,
+            dtype=self.dtype,
+            **hkw,
+        )
+
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        feats = self.backbone(x, train=train)
+        logits = self.decode_head(feats, train=train)
+        if isinstance(logits, (tuple, list)):  # heads with aux outputs
+            main, aux = logits[0], logits[1:]
+            main = resize(main, (h, w))
+            if train and aux:
+                return [main] + [resize(a, (h, w)) for a in aux]
+            return main
+        return resize(logits, (h, w))
+
+    def features(self, x, train: bool = False):
+        return self.backbone(x, train=train)
+
+
+def build_model(
+    backbone: str,
+    head: str,
+    num_classes: int,
+    embed_dim: Optional[int] = None,
+    dtype: Any = jnp.bfloat16,
+    **kwargs,
+) -> SegmentationModel:
+    # import for registration side effects
+    import segmentation_factory_tpu.models.backbones  # noqa: F401
+    import segmentation_factory_tpu.models.heads  # noqa: F401
+
+    return SegmentationModel(
+        backbone_name=backbone,
+        head_name=head,
+        num_classes=num_classes,
+        embed_dim=embed_dim,
+        dtype=dtype,
+        **kwargs,
+    )

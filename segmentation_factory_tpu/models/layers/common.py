@@ -1,0 +1,169 @@
+"""Core building blocks shared by every backbone/head.
+
+TPU-native equivalents of the reference's layer library
+(/root/reference/models/layers/). All tensors are NHWC; compute dtype is a
+module attribute (bfloat16 in the hot path), params stay fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from segmentation_factory_tpu.models.layers.act import build_act
+from segmentation_factory_tpu.models.layers.norm import build_norm
+
+Array = jax.Array
+
+trunc_normal_init = nn.initializers.truncated_normal  # (stddev) -> init fn
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)  # type: ignore[return-value]
+    return (v, v)
+
+
+class ConvModule(nn.Module):
+    """Conv -> norm -> act (the workhorse of all heads; ref conv_module.py:4-10).
+
+    NHWC, SAME-style explicit padding. ``groups=in_channels`` gives a
+    depthwise conv (lowered by XLA to the TPU depthwise path).
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 1
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Union[str, int, Tuple[int, int]] = "SAME"
+    groups: int = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    use_bias: Optional[bool] = None
+    norm: Optional[str] = "bn"
+    act: Optional[str] = "relu"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        elif isinstance(pad, tuple):
+            pad = [pad, pad]
+        use_bias = self.use_bias if self.use_bias is not None else self.norm is None
+        x = nn.Conv(
+            self.features,
+            _pair(self.kernel_size),
+            strides=_pair(self.strides),
+            padding=pad,
+            feature_group_count=self.groups,
+            kernel_dilation=_pair(self.dilation),
+            use_bias=use_bias,
+            dtype=self.dtype,
+        )(x)
+        norm = build_norm(self.norm, dtype=self.dtype)
+        if norm is not None:
+            x = norm(x, train=train)
+        act = build_act(self.act)
+        if act is not None:
+            x = act(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (ref drop_path.py:5-24): drop whole residual branches."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+class SqueezeExcite(nn.Module):
+    """SE block (ref mobilenetv3.py:32-49 / mobilenetv4_blocks.py:38-77)."""
+
+    reduced: int
+    gate: str = "hsigmoid"
+    act: str = "relu"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype)(s)
+        s = build_act(self.act)(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype)(s)
+        s = build_act(self.gate)(s)
+        return x * s
+
+
+class Mlp(nn.Module):
+    """Transformer FFN: Dense -> act -> Dense, optional dropout."""
+
+    hidden: int
+    out: Optional[int] = None
+    act: str = "gelu"
+    dropout: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        out = self.out or x.shape[-1]
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = build_act(self.act)(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out, dtype=self.dtype)(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+def resize(
+    x: Array,
+    size: Tuple[int, int],
+    method: str = "bilinear",
+    antialias: bool = False,
+) -> Array:
+    """Resize NHWC spatial dims to ``size`` (replaces F.interpolate).
+
+    ``bilinear`` matches torch ``align_corners=False`` semantics, which is what
+    the reference uses everywhere (e.g. build_models.py:65, segformer.py:48).
+    """
+    b, _, _, c = x.shape
+    if (x.shape[1], x.shape[2]) == tuple(size):
+        return x
+    out = jax.image.resize(
+        x.astype(jnp.float32) if method == "bilinear" else x,
+        (b, size[0], size[1], c),
+        method=method,
+        antialias=antialias,
+    )
+    return out.astype(x.dtype)
+
+
+def resize_like(x: Array, ref: Array, method: str = "bilinear") -> Array:
+    return resize(x, (ref.shape[1], ref.shape[2]), method=method)
+
+
+def drop_path_rates(total_rate: float, depths: Sequence[int]) -> list:
+    """Per-block linearly increasing stochastic-depth rates (timm convention)."""
+    total = sum(depths)
+    if total <= 1:
+        return [[0.0] * d for d in depths]
+    rates = [total_rate * i / (total - 1) for i in range(total)]
+    out, i = [], 0
+    for d in depths:
+        out.append(rates[i : i + d])
+        i += d
+    return out

@@ -1,0 +1,107 @@
+"""Norm layers + registry.
+
+TPU-native counterpart of /root/reference/models/layers/norm.py. All feature
+maps are NHWC, so "LayerNorm2d" (channels-first LN in the reference,
+norm.py:19-25) is just LayerNorm over the trailing channel axis here — the
+layout that XLA prefers on TPU.
+
+BatchNorm supports cross-replica moment syncing (SyncBN) by passing
+``axis_name='data'`` — flax's BatchNorm pmeans batch statistics over that
+mesh axis inside the jitted step, replacing torch SyncBN process groups.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d equivalent over NHWC with optional cross-replica sync.
+
+    The reference relies on per-replica torch BatchNorm (README.md:64-65 warns
+    batch>=2 per GPU); set ``axis_name`` to sync moments over the mesh.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+        )(x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis of NHWC / NLC tensors."""
+
+    epsilon: float = 1e-6
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon, dtype=self.dtype
+        )(x)
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXtV2, reference convnextv2.py:68-80).
+
+    NHWC: gx = ||x||_2 over (H, W) per channel; nx = gx / mean_c(gx).
+    """
+
+    epsilon: float = 1e-6
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.zeros, (dim,))
+        beta = self.param("beta", nn.initializers.zeros, (dim,))
+        xf = x.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(xf * xf, axis=(1, 2), keepdims=True) + 1e-12)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.epsilon)
+        out = gamma * (xf * nx) + beta + xf
+        return out.astype(x.dtype)
+
+
+NORMS: dict[str, Callable] = {
+    "bn": BatchNorm,
+    "bn2d": BatchNorm,
+    "sync_bn": lambda **kw: BatchNorm(axis_name="data", **kw),
+    "ln": LayerNorm,
+    "ln2d": LayerNorm,  # NHWC: channel-last LN == the reference's LayerNorm2d
+    "gn": GroupNorm,
+}
+
+
+def build_norm(name: Optional[str], **kwargs) -> Optional[nn.Module]:
+    """Name -> norm module instance; None -> None (ref norm.py:36-46)."""
+    if not name:
+        return None
+    key = name.lower()
+    if key not in NORMS:
+        raise KeyError(f"unknown norm {name!r}; available: {sorted(NORMS)}")
+    return NORMS[key](**kwargs)

@@ -1,0 +1,89 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's NCCL process-group plumbing
+(/root/reference/util/utils.py:287-310, models/layers/dist.py:48-96) with the
+JAX SPMD model: one ``Mesh`` with ``('data', 'model')`` axes; the batch is
+sharded over ``data`` (DDP equivalent — gradient psum is inserted by XLA),
+and wide kernels may be sharded over ``model`` (tensor parallelism — XLA
+inserts the all-gathers/reduce-scatters over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, int]] = None,
+    axis_names: Tuple[str, str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Create a (data, model) mesh. Default: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, f"mesh {shape} != {n} devices"
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def fit_mesh_shape(n_devices: int, tp: Optional[int] = None) -> Tuple[int, int]:
+    """Pick a (dp, tp) factorisation. tp defaults to 2 when it divides n."""
+    if tp is None:
+        tp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    assert n_devices % tp == 0
+    return (n_devices // tp, tp)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch dim over the data axis; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with the leading dim split over 'data'."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def param_shardings(params, mesh: Mesh, min_tp_dim: int = 256):
+    """Tensor-parallel sharding rules for a param tree.
+
+    Dense/conv kernels whose output-feature (last) dim is divisible by the
+    'model' axis size and at least ``min_tp_dim`` wide are sharded over
+    'model'; everything else is replicated. This is weight-sharded TP: XLA
+    all-gathers the sharded weights (or keeps activations sharded) over ICI.
+    """
+    tp = mesh.shape["model"]
+
+    def rule(path, x):
+        if tp > 1 and hasattr(x, "ndim") and x.ndim >= 2:
+            leaf = str(path[-1]) if path else ""
+            if "kernel" in leaf and x.shape[-1] % tp == 0 and x.shape[-1] >= min_tp_dim:
+                spec = [None] * (x.ndim - 1) + ["model"]
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def initialize_multihost() -> None:
+    """Multi-host bring-up (one process per host). No-op on a single host.
+
+    Equivalent of torch.distributed.init_process_group (ref utils.py:287-310):
+    JAX discovers the slice topology itself; no env rendezvous knobs needed.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    try:
+        jax.distributed.initialize()
+    except Exception:  # single-process run (tests, notebooks, single chip)
+        pass

@@ -1,0 +1,71 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmentation_factory_tpu.models import build_model
+from segmentation_factory_tpu.registry import BACKBONES, get_backbone
+
+
+def init_and_apply(model, x, train=False):
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng, "droppath": rng}, x, train=False)
+    out = model.apply(
+        variables,
+        x,
+        train=train,
+        rngs={"dropout": rng, "droppath": rng},
+        mutable=["batch_stats"] if train and "batch_stats" in variables else False,
+    )
+    if isinstance(out, tuple):
+        out = out[0]
+    return out, variables
+
+
+def test_mit_b0_pyramid_shapes():
+    model, channels = get_backbone("mit_b0", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    feats, _ = init_and_apply(model, x)
+    assert channels == [32, 64, 160, 256]
+    strides = [4, 8, 16, 32]
+    for f, c, s in zip(feats, channels, strides):
+        assert f.shape == (1, 64 // s, 64 // s, c)
+
+
+def test_mit_b2_depths():
+    model, channels = get_backbone("mit_b2", dtype=jnp.float32)
+    assert channels == [64, 128, 320, 512]
+    assert model.depths == [3, 4, 6, 3]
+
+
+def test_segformer_model_end_to_end():
+    model = build_model("mit_b0", "segformerhead", num_classes=19, dtype=jnp.float32)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    logits, variables = init_and_apply(model, x)
+    assert logits.shape == (2, 64, 64, 19)
+    assert logits.dtype == jnp.float32
+    # embed_dim rule: mit_b0 -> 128 (ref build_models.py:53)
+    fuse = variables["params"]["decode_head"]["linear_fuse"]
+    assert fuse["Conv_0"]["kernel"].shape[-1] == 128
+
+
+def test_model_train_mode_runs():
+    model = build_model("mit_b0", "segformerhead", num_classes=5, dtype=jnp.float32)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    logits, _ = init_and_apply(model, x, train=True)
+    assert logits.shape == (1, 32, 32, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_unknown_names_raise():
+    with pytest.raises(KeyError):
+        build_model("nope", "segformerhead", num_classes=2).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )
+
+
+def test_registry_populated():
+    import segmentation_factory_tpu.models.backbones  # noqa: F401
+
+    for v in ("b0", "b1", "b2", "b3", "b4", "b5"):
+        assert f"mit_{v}" in BACKBONES
