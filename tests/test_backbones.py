@@ -1,0 +1,45 @@
+"""Shape/dtype golden tests per backbone (formalizing the reference's
+commented-out __main__ smoke checks, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segmentation_factory_tpu.registry import get_backbone
+
+CASES = [
+    # name, expected channels, num pyramid levels
+    ("mit_b0", [32, 64, 160, 256], 4),
+    ("convnext_tiny", [96, 192, 384, 768], 4),
+    ("convnextv2_atto", [40, 80, 160, 320], 4),
+    ("mobilenetv2", [24, 32, 96, 320], 4),
+    ("mobilenetv3", [24, 32, 96, 320], 4),
+]
+
+
+@pytest.mark.parametrize("name,channels,levels", CASES)
+def test_backbone_pyramid(name, channels, levels):
+    model, ch = get_backbone(name, dtype=jnp.float32)
+    assert ch == channels
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "droppath": rng}, x, train=False)
+    feats = model.apply(variables, x, train=False)
+    assert len(feats) == levels
+    strides = [4, 8, 16, 32]
+    for f, c, s in zip(feats, channels, strides):
+        assert f.shape == (1, 64 // s, 64 // s, c), (name, f.shape, c, s)
+        assert np.isfinite(np.asarray(f, np.float32)).all()
+
+
+def test_backbone_train_mode_batch_stats():
+    model, _ = get_backbone("mobilenetv2", dtype=jnp.float32)
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "droppath": rng}, x, train=False)
+    assert "batch_stats" in variables  # BN backbones carry running stats
+    feats, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"], rngs={"droppath": rng}
+    )
+    assert len(feats) == 4
