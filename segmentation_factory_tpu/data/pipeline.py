@@ -1,0 +1,152 @@
+"""Host input pipeline: threaded decode + geometric aug, device prefetch.
+
+Replaces torch DataLoader + DistributedSampler (ref train_gpu.py:211-223).
+Per-host sharding of the sample index space replaces DistributedSampler;
+a thread pool does decode + host-side geometric transforms; batches are
+device_put asynchronously (double-buffered) so the TPU never waits on the
+host. Multi-host: each process loads its own shard (process_index-strided),
+and the jitted step sees a per-host batch laid out over the local devices.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from segmentation_factory_tpu.data.datasets import SegDataset
+from segmentation_factory_tpu.data.transforms import (
+    center_pad_to,
+    random_scale_crop,
+    resize_pair,
+)
+
+
+class Loader:
+    """Iterates (image_u8 (B,H,W,3), label_i32 (B,H,W)) numpy batches."""
+
+    def __init__(
+        self,
+        dataset: SegDataset,
+        batch_size: int,
+        crop: int,
+        train: bool = True,
+        scale_range: Tuple[float, float] = (0.5, 2.0),
+        eval_hw: Optional[Tuple[int, int]] = None,
+        seed: int = 0,
+        num_workers: int = 8,
+        shard_id: Optional[int] = None,
+        num_shards: Optional[int] = None,
+        drop_last: Optional[bool] = None,
+    ):
+        self.ds = dataset
+        self.batch = batch_size
+        self.crop = crop
+        self.train = train
+        self.scale_range = scale_range
+        self.eval_hw = eval_hw or (crop, crop)
+        self.seed = seed
+        self.workers = max(1, num_workers)
+        self.shard_id = shard_id if shard_id is not None else jax.process_index()
+        self.num_shards = num_shards if num_shards is not None else jax.process_count()
+        self.drop_last = train if drop_last is None else drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (DistributedSampler.set_epoch equivalent)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch if self.drop_last else -(-n // self.batch)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.train:
+            rng = np.random.default_rng(self.seed * 1000003 + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard_id :: self.num_shards]
+
+    def _load_one(self, i: int, sample_seed: int):
+        img, lbl = self.ds.load(int(i))
+        if self.train:
+            rng = np.random.default_rng(sample_seed)
+            img, lbl = random_scale_crop(
+                img, lbl, self.crop, self.scale_range, self.ds.ignore_index, rng
+            )
+        else:
+            h, w = img.shape[:2]
+            eh, ew = self.eval_hw
+            if (h, w) != (eh, ew):
+                scale = min(eh / h, ew / w)
+                if scale < 1.0:  # shrink-to-fit, keep aspect
+                    img, lbl = resize_pair(img, lbl, (int(h * scale), int(w * scale)))
+                img, lbl = center_pad_to(img, lbl, self.eval_hw, self.ds.ignore_index)
+        return img.astype(np.uint8), lbl.astype(np.int32)
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._indices()
+        base = self.seed * 7919 + self.epoch * 104729
+        with ThreadPoolExecutor(self.workers) as pool:
+            n_full = len(idx) // self.batch
+            n_batches = n_full if self.drop_last else -(-len(idx) // self.batch)
+            for bi in range(n_batches):
+                chunk = idx[bi * self.batch : (bi + 1) * self.batch]
+                pad_to = self.batch - len(chunk)
+                results = list(
+                    pool.map(
+                        lambda a: self._load_one(a[1], base + int(a[1])),
+                        enumerate(chunk),
+                    )
+                )
+                imgs = np.stack([r[0] for r in results])
+                lbls = np.stack([r[1] for r in results])
+                if pad_to:  # pad final partial batch with ignore-only samples
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad_to, *imgs.shape[1:]), np.uint8)]
+                    )
+                    lbls = np.concatenate(
+                        [
+                            lbls,
+                            np.full(
+                                (pad_to, *lbls.shape[1:]),
+                                self.ds.ignore_index,
+                                np.int32,
+                            ),
+                        ]
+                    )
+                yield {"image": imgs, "label": lbls}
+
+
+def prefetch_to_device(iterator, sharding=None, depth: int = 2):
+    """Double-buffered host->device transfer (the overlap torch gets from
+    pin_memory+non_blocking; here an explicit lookahead queue of device_puts).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), batch
+                    )
+                else:
+                    batch = jax.tree_util.tree_map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,159 @@
+"""Paired image/label transforms, split TPU-first.
+
+Rebuild of /root/reference/datasets/extra_transform.py with a deliberate
+host/device split:
+
+- **Host (numpy/PIL, per sample, in loader threads):** the geometric ops
+  whose output shapes depend on random draws — random scale, random crop
+  with pad-to-crop, val resize. Cheap on CPU, and doing them host-side keeps
+  every device array static-shaped.
+- **Device (jitted, per batch):** the photometric float ops — hflip, color
+  jitter (brightness/contrast/saturation), normalize. These ride the VPU
+  fused into the train step, and the host->device transfer stays uint8
+  (4x less PCIe/DMA traffic than fp32).
+
+Labels always use NEAREST (ref extra_transform.py:92, :419); images bilinear.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from PIL import Image
+except Exception:  # pragma: no cover
+    Image = None
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host-side geometric (numpy / PIL)
+# ---------------------------------------------------------------------------
+
+
+def _pil_resize(arr: np.ndarray, size_wh: Tuple[int, int], nearest: bool) -> np.ndarray:
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    out = Image.fromarray(arr if arr.dtype == np.uint8 else arr.astype(np.int32)).resize(
+        size_wh, mode
+    )
+    return np.asarray(out)
+
+
+def resize_pair(img: np.ndarray, lbl: np.ndarray, hw: Tuple[int, int]):
+    """Deterministic resize (val pipeline; ref ExtResize :395-423)."""
+    h, w = hw
+    img = _pil_resize(img, (w, h), nearest=False)
+    lbl = _pil_resize(lbl.astype(np.int32), (w, h), nearest=True).astype(np.int32)
+    return img, lbl
+
+
+def resize_short_side(img: np.ndarray, lbl: np.ndarray, short: int, divisor: int = 32):
+    """Scale so the short side == ``short``, then ceil both sides to /divisor
+    (inference preprocessing; ref estimate_model.py:85-98)."""
+    h, w = img.shape[:2]
+    scale = short / min(h, w)
+    nh = int(np.ceil(h * scale / divisor) * divisor)
+    nw = int(np.ceil(w * scale / divisor) * divisor)
+    return resize_pair(img, lbl, (nh, nw))
+
+
+def random_scale_crop(
+    img: np.ndarray,
+    lbl: np.ndarray,
+    crop: int,
+    scale_range: Tuple[float, float] = (0.5, 2.0),
+    ignore_index: int = 255,
+    rng: Optional[np.random.Generator] = None,
+):
+    """Random-scale + random-crop + pad-to-crop (ref ExtRandomScale :75-97 +
+    ExtRandomCrop w/ pad :319-392). Output is exactly (crop, crop)."""
+    rng = rng or np.random.default_rng()
+    h, w = img.shape[:2]
+    scale = rng.uniform(*scale_range)
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    img = _pil_resize(img, (nw, nh), nearest=False)
+    lbl = _pil_resize(lbl.astype(np.int32), (nw, nh), nearest=True).astype(np.int32)
+    # pad to at least crop
+    ph, pw = max(crop - nh, 0), max(crop - nw, 0)
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=0)
+        lbl = np.pad(lbl, ((0, ph), (0, pw)), constant_values=ignore_index)
+    nh, nw = img.shape[:2]
+    top = rng.integers(0, nh - crop + 1)
+    left = rng.integers(0, nw - crop + 1)
+    return (
+        img[top : top + crop, left : left + crop],
+        lbl[top : top + crop, left : left + crop],
+    )
+
+
+def center_pad_to(img: np.ndarray, lbl: np.ndarray, hw: Tuple[int, int], ignore_index=255):
+    """Pad (bottom/right) to a static eval canvas; mask stays valid-only via
+    ignore_index so padded pixels never touch the confusion matrix."""
+    h, w = hw
+    ph, pw = max(h - img.shape[0], 0), max(w - img.shape[1], 0)
+    img = np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=0)
+    lbl = np.pad(lbl, ((0, ph), (0, pw)), constant_values=ignore_index)
+    return img[:h, :w], lbl[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Device-side photometric (jitted; folded into the train step)
+# ---------------------------------------------------------------------------
+
+
+def normalize(images_f32: jax.Array) -> jax.Array:
+    """uint8-scale float -> ImageNet-normalized (ref ExtNormalize :288-316)."""
+    mean = jnp.asarray(IMAGENET_MEAN) * 255.0
+    std = jnp.asarray(IMAGENET_STD) * 255.0
+    return (images_f32 - mean) / std
+
+
+def augment_batch(
+    rng: jax.Array,
+    images_u8: jax.Array,
+    labels: jax.Array,
+    hflip: bool = True,
+    vflip: bool = False,
+    color_jitter: float = 0.5,
+):
+    """Per-sample hflip/vflip + brightness/contrast/saturation jitter +
+    normalize, all on device (replaces ExtColorJitter :426-517 and
+    ExtRandomHorizontalFlip :196-218). Returns (images f32 normalized, labels).
+    """
+    b = images_u8.shape[0]
+    img = images_u8.astype(jnp.float32)
+    k_flip, k_vflip, k_b, k_c, k_s, k_order = jax.random.split(rng, 6)
+
+    if hflip:
+        do = jax.random.bernoulli(k_flip, 0.5, (b, 1, 1, 1))
+        img = jnp.where(do, img[:, :, ::-1, :], img)
+        labels = jnp.where(do[..., 0], labels[:, :, ::-1], labels)
+    if vflip:
+        do = jax.random.bernoulli(k_vflip, 0.5, (b, 1, 1, 1))
+        img = jnp.where(do, img[:, ::-1, :, :], img)
+        labels = jnp.where(do[..., 0], labels[:, ::-1, :], labels)
+
+    if color_jitter > 0:
+        j = color_jitter
+        br = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - j, maxval=1 + j)
+        img = img * br
+        ct = jax.random.uniform(k_c, (b, 1, 1, 1), minval=1 - j, maxval=1 + j)
+        mean_l = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
+        img = (img - mean_l) * ct + mean_l
+        st = jax.random.uniform(k_s, (b, 1, 1, 1), minval=1 - j, maxval=1 + j)
+        gray = jnp.mean(img, axis=-1, keepdims=True)
+        img = (img - gray) * st + gray
+        img = jnp.clip(img, 0.0, 255.0)
+
+    return normalize(img), labels
+
+
+def preprocess_eval(images_u8: jax.Array) -> jax.Array:
+    return normalize(images_u8.astype(jnp.float32))

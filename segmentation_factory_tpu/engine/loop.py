@@ -1,0 +1,211 @@
+"""Trainer: the full train/eval/checkpoint loop.
+
+Rebuild of /root/reference/train_gpu.py:187-368 + engine.py as one class:
+config -> mesh, data, model, optimizer, schedules -> epoch loop with
+streaming eval, best-mIoU checkpointing, auto-resume, results logging.
+Device-side augmentation is fused into the jitted train step (the batch
+crosses PCIe as uint8).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation_factory_tpu.checkpoint import CheckpointManager
+from segmentation_factory_tpu.config import TrainConfig
+from segmentation_factory_tpu.data import Loader, build_dataset, prefetch_to_device
+from segmentation_factory_tpu.data.transforms import augment_batch, preprocess_eval
+from segmentation_factory_tpu.engine.state import (
+    TrainState,
+    create_optimizer,
+    create_train_state,
+)
+from segmentation_factory_tpu.engine.steps import eval_step as _eval_step
+from segmentation_factory_tpu.engine.steps import train_step as _train_step
+from segmentation_factory_tpu.metrics import compute_metrics
+from segmentation_factory_tpu.models import build_model
+from segmentation_factory_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from segmentation_factory_tpu.schedule import create_schedule
+from segmentation_factory_tpu.utils import MetricLogger
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, train_ds=None, val_ds=None):
+        self.cfg = cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+
+        mesh_shape = cfg.mesh_shape or (len(jax.devices()), 1)
+        self.mesh = make_mesh(tuple(mesh_shape))
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.replicated = replicated(self.mesh)
+
+        d = cfg.data
+        self.train_ds = train_ds or build_dataset(d.dataset, d.data_root, "train")
+        self.val_ds = val_ds or build_dataset(d.dataset, d.data_root, "val")
+        nc = cfg.model.num_classes
+
+        self.train_loader = Loader(
+            self.train_ds,
+            d.batch_size,
+            d.img_size,
+            train=True,
+            scale_range=tuple(d.scale_range),
+            seed=cfg.seed,
+            num_workers=d.num_workers,
+        )
+        self.val_loader = Loader(
+            self.val_ds,
+            max(d.val_batch_size, 1),
+            d.img_size,
+            train=False,
+            eval_hw=(d.img_size, d.img_size),
+            num_workers=d.num_workers,
+        )
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        total_steps = steps_per_epoch * cfg.optim.epochs
+        self.schedule = create_schedule(
+            cfg.optim.sched,
+            cfg.optim.lr,
+            total_steps=total_steps,
+            warmup_steps=min(cfg.optim.warmup_steps, total_steps // 10),
+            min_lr=cfg.optim.min_lr,
+        )
+
+        self.model = build_model(
+            cfg.model.backbone,
+            cfg.model.head,
+            num_classes=nc,
+            embed_dim=cfg.model.embed_dim,
+            dtype=jnp.bfloat16
+            if cfg.model.compute_dtype == "bfloat16"
+            else jnp.float32,
+        )
+        tx = create_optimizer(
+            cfg.optim.opt,
+            self.schedule,
+            weight_decay=cfg.optim.weight_decay,
+            momentum=cfg.optim.momentum,
+            clip_grad=cfg.optim.clip_grad,
+            clip_mode=cfg.optim.clip_mode,
+        )
+        state = create_train_state(
+            self.model, jax.random.PRNGKey(cfg.seed), (1, d.img_size, d.img_size, 3), tx
+        )
+        self.state: TrainState = jax.device_put(state, self.replicated)
+
+        self.ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
+        self.best = {"mIoU": 0.0, "mF1": 0.0, "aAcc": 0.0}
+        if cfg.resume:
+            self.state, meta = self.ckpt.restore(self.state)
+            if meta:
+                self.best.update(meta)
+                print(f"resumed from step {int(self.state.step)}: {meta}")
+
+        ign = d.ignore_index
+        aug = functools.partial(
+            augment_batch, hflip=d.hflip, color_jitter=d.color_jitter
+        )
+
+        def fused_train_step(state, raw_batch, rng):
+            a_rng, s_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+            images, labels = aug(a_rng, raw_batch["image"], raw_batch["label"])
+            return _train_step(
+                state,
+                {"image": images, "label": labels},
+                s_rng,
+                ignore_index=ign,
+                loss_type=cfg.loss_type,
+                use_dice=cfg.use_dice,
+                learning_rate_fn=self.schedule,
+            )
+
+        def fused_eval_step(state, raw_batch, hist):
+            images = preprocess_eval(raw_batch["image"])
+            return _eval_step(
+                state,
+                {"image": images, "label": raw_batch["label"]},
+                hist,
+                ignore_index=ign,
+            )
+
+        self.train_step = jax.jit(fused_train_step, donate_argnums=0)
+        self.eval_step = jax.jit(fused_eval_step, donate_argnums=2)
+        self.rng = jax.random.PRNGKey(cfg.seed + 1)
+        self.results_path = os.path.join(cfg.output_dir, "results.jsonl")
+
+    # ------------------------------------------------------------------
+
+    def train_one_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        self.train_loader.set_epoch(epoch)
+        logger = MetricLogger(
+            print_freq=cfg.print_freq, header=f"Epoch [{epoch}] "
+        )
+        it = prefetch_to_device(iter(self.train_loader), self.batch_sharding)
+        n = len(self.train_loader)
+        skipped = 0
+        for i, batch in logger.log_every(it, total=n):
+            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            if (i % cfg.print_freq == 0) or i == n - 1:
+                loss = float(metrics["loss"])
+                skipped += int(metrics.get("skipped_nonfinite", 0))
+                logger.update(loss=loss, lr=float(metrics.get("lr", 0.0)))
+        if skipped:
+            print(f"warning: {skipped} sampled steps skipped non-finite loss")
+        return {"train_loss": logger.meters["loss"].global_avg}
+
+    def evaluate(self) -> dict:
+        nc = self.cfg.model.num_classes
+        hist = jax.device_put(jnp.zeros((nc, nc), jnp.int32), self.replicated)
+        it = prefetch_to_device(iter(self.val_loader), self.batch_sharding)
+        for batch in it:
+            hist = self.eval_step(self.state, batch, hist)
+        m = compute_metrics(np.asarray(hist))
+        return m
+
+    def fit(self, epochs: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        epochs = epochs or cfg.optim.epochs
+        start_epoch = int(self.state.step) // max(len(self.train_loader), 1)
+        t0 = time.time()
+        for epoch in range(start_epoch, epochs):
+            train_stats = self.train_one_epoch(epoch)
+            stats = {"epoch": epoch, **train_stats}
+            if (epoch + 1) % cfg.eval_interval == 0 or epoch == epochs - 1:
+                m = self.evaluate()
+                stats.update(
+                    {k: m[k] for k in ("mIoU", "mF1", "mAcc", "aAcc")}
+                )
+                print(
+                    f"epoch {epoch}: mIoU {m['mIoU']:.2f} mF1 {m['mF1']:.2f} "
+                    f"aAcc {m['aAcc']:.2f}"
+                )
+                if m["mIoU"] >= self.best["mIoU"]:
+                    self.best = {
+                        "mIoU": m["mIoU"],
+                        "mF1": m["mF1"],
+                        "aAcc": m["aAcc"],
+                        "epoch": epoch,
+                    }
+                    if jax.process_index() == 0:
+                        self.ckpt.save(int(self.state.step), self.state, self.best)
+            if jax.process_index() == 0:
+                with open(self.results_path, "a") as f:
+                    f.write(json.dumps(stats) + "\n")
+        self.ckpt.wait()
+        total = time.time() - t0
+        print(f"training done in {total:.0f}s; best: {self.best}")
+        return self.best

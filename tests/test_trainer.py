@@ -1,0 +1,79 @@
+"""End-to-end Trainer test: tiny synthetic train run with eval + checkpoint
+resume on the 8-device CPU mesh (SURVEY.md §4 item 5)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from segmentation_factory_tpu.config import (
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    TrainConfig,
+)
+from segmentation_factory_tpu.engine.loop import Trainer
+
+
+def tiny_cfg(tmp_path, epochs=2):
+    return TrainConfig(
+        model=ModelConfig(
+            backbone="mit_b0",
+            head="segformerhead",
+            num_classes=4,
+            compute_dtype="float32",
+        ),
+        data=DataConfig(
+            dataset="synthetic",
+            img_size=32,
+            batch_size=8,
+            val_batch_size=8,
+            num_workers=2,
+        ),
+        optim=OptimConfig(
+            lr=3e-3, epochs=epochs, warmup_steps=2, clip_grad=None, sched="poly"
+        ),
+        use_dice=True,
+        output_dir=str(tmp_path),
+        print_freq=10,
+        eval_interval=1,
+    )
+
+
+@pytest.fixture(scope="module")
+def ds_pair():
+    from segmentation_factory_tpu.data import Synthetic
+
+    return (
+        Synthetic(num_classes=4, size=32, length=32, seed=0),
+        Synthetic(num_classes=4, size=32, length=8, seed=9),
+    )
+
+
+def test_trainer_fit_and_resume(tmp_path, ds_pair):
+    train_ds, val_ds = ds_pair
+    cfg = tiny_cfg(tmp_path, epochs=2)
+    t = Trainer(cfg, train_ds=train_ds, val_ds=val_ds)
+    best = t.fit()
+    assert best["mIoU"] > 10.0  # learnable blobs: should beat random fast
+    assert os.path.exists(t.results_path)
+    steps_after = int(t.state.step)
+    assert steps_after == 2 * len(t.train_loader)
+    t.ckpt.close()
+
+    # resume: new trainer picks up the checkpoint
+    cfg2 = tiny_cfg(tmp_path, epochs=2)
+    t2 = Trainer(cfg2, train_ds=train_ds, val_ds=val_ds)
+    assert int(t2.state.step) > 0
+    assert t2.best["mIoU"] == pytest.approx(best["mIoU"], abs=1e-6)
+    t2.ckpt.close()
+
+
+def test_evaluate_returns_metrics(tmp_path, ds_pair):
+    train_ds, val_ds = ds_pair
+    cfg = tiny_cfg(tmp_path / "e", epochs=1)
+    t = Trainer(cfg, train_ds=train_ds, val_ds=val_ds)
+    m = t.evaluate()
+    for k in ("mIoU", "mF1", "mAcc", "aAcc"):
+        assert k in m and np.isfinite(m[k])
+    t.ckpt.close()

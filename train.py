@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Training CLI (replaces /root/reference/train_gpu.py).
+
+Single-host:   python train.py --dataset synthetic --backbone mit_b0
+Multi-host:    run one process per host; JAX discovers the slice topology
+               (no --nproc_per_node / RANK/WORLD_SIZE plumbing needed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args():
+    p = argparse.ArgumentParser("TPU Segmentation Factory trainer")
+    p.add_argument("--backbone", default="mit_b0")
+    p.add_argument("--seg-head", "--head", dest="head", default="segformerhead")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data-root", default="./data")
+    p.add_argument("--nb-classes", type=int, default=None)
+    p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--opt", default="adamw")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--min-lr", type=float, default=1e-5)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--sched", default="cosine")
+    p.add_argument("--warmup-steps", type=int, default=1500)
+    p.add_argument("--clip-grad", type=float, default=0.02)
+    p.add_argument("--clip-mode", default="agc")
+    p.add_argument("--loss", default="ce", help="ce|ohem|focal|dicebce")
+    p.add_argument("--no-dice", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--eval", action="store_true", help="evaluate only")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--mesh", default=None, help="dp,tp e.g. 4,2")
+    p.add_argument("--workers", type=int, default=8)
+    return p.parse_args()
+
+
+DEFAULT_CLASSES = {
+    "cityscapes": 19,
+    "voc": 21,
+    "ade20k": 150,
+    "cocostuff": 171,
+    "kvasir": 2,
+    "synapse": 9,
+    "synthetic": 8,
+}
+
+
+def main():
+    args = parse_args()
+    from segmentation_factory_tpu.config import (
+        DataConfig,
+        ModelConfig,
+        OptimConfig,
+        TrainConfig,
+    )
+    from segmentation_factory_tpu.engine.loop import Trainer
+    from segmentation_factory_tpu.parallel import initialize_multihost
+
+    initialize_multihost()
+
+    nc = args.nb_classes or DEFAULT_CLASSES[args.dataset.lower()]
+    cfg = TrainConfig(
+        model=ModelConfig(backbone=args.backbone, head=args.head, num_classes=nc),
+        data=DataConfig(
+            dataset=args.dataset,
+            data_root=args.data_root,
+            img_size=args.img_size,
+            batch_size=args.batch_size,
+            num_workers=args.workers,
+        ),
+        optim=OptimConfig(
+            opt=args.opt,
+            lr=args.lr,
+            min_lr=args.min_lr,
+            weight_decay=args.weight_decay,
+            sched=args.sched,
+            warmup_steps=args.warmup_steps,
+            clip_grad=args.clip_grad,
+            clip_mode=args.clip_mode,
+            epochs=args.epochs,
+        ),
+        loss_type=args.loss,
+        use_dice=not args.no_dice,
+        seed=args.seed,
+        output_dir=args.output_dir,
+        resume=not args.no_resume,
+        print_freq=args.print_freq,
+        mesh_shape=tuple(int(v) for v in args.mesh.split(",")) if args.mesh else None,
+    )
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    with open(os.path.join(cfg.output_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    trainer = Trainer(cfg)
+    if args.eval:
+        m = trainer.evaluate()
+        print({k: round(v, 2) for k, v in m.items() if not isinstance(v, list)})
+        return
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()
