@@ -1,7 +1,10 @@
 """Backbone zoo. Importing this package registers every backbone."""
 
+import segmentation_factory_tpu.models.backbones.casvit  # noqa: F401
 import segmentation_factory_tpu.models.backbones.convnext  # noqa: F401
 import segmentation_factory_tpu.models.backbones.convnextv2  # noqa: F401
+import segmentation_factory_tpu.models.backbones.efficientvit  # noqa: F401
+import segmentation_factory_tpu.models.backbones.metaformer  # noqa: F401
 import segmentation_factory_tpu.models.backbones.mit  # noqa: F401
 import segmentation_factory_tpu.models.backbones.mobilenet  # noqa: F401
 

@@ -1,0 +1,222 @@
+"""MetaFormer family: generalized token-mixer transformer.
+
+Parity with /root/reference/models/backbones/metaformer.py: mixers
+Identity/RandomMixing/Pooling/SepConv/Attention (:244-420), StarReLU (:224),
+MetaFormerBlock (:471), 4-stage layout with conv downsampling, ~50 variants
+(identityformer/randformer/poolformerv2/convformer/caformer, :687-1551).
+
+The mixer is a per-stage constructor string, so every family member is one
+registry entry over the same module — no 1500-line copy of factories.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from segmentation_factory_tpu.models.layers import DropPath, drop_path_rates
+from segmentation_factory_tpu.models.layers.act import star_relu
+from segmentation_factory_tpu.registry import register_backbone
+
+
+class RandomMixing(nn.Module):
+    """Fixed random row-softmax mixing matrix over tokens (ref :260-276)."""
+
+    num_tokens: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        m = self.variable(
+            "constants",
+            "mix",
+            lambda: jax.nn.softmax(
+                jax.random.uniform(jax.random.PRNGKey(0), (self.num_tokens, self.num_tokens)),
+                axis=-1,
+            ),
+        ).value
+        y = x.reshape(b, h * w, c)
+        y = jnp.einsum("mn,bnc->bmc", m.astype(x.dtype), y)
+        return y.reshape(b, h, w, c)
+
+
+class Pooling(nn.Module):
+    """avgpool3x3 - identity (PoolFormer mixer, ref :278-297)."""
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)],
+                        count_include_pad=False)
+        return y - x
+
+
+class SepConv(nn.Module):
+    """pw expand -> act -> dw 7x7 -> pw project (ConvFormer mixer, ref :356-389)."""
+
+    expand: float = 2.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mid = int(c * self.expand)
+        y = nn.Dense(mid, dtype=self.dtype, name="pw1")(x)
+        y = star_relu(y)
+        y = nn.Conv(
+            mid, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=mid,
+            use_bias=False, dtype=self.dtype, name="dw",
+        )(y)
+        return nn.Dense(c, dtype=self.dtype, name="pw2")(y)
+
+
+class VanillaAttention(nn.Module):
+    """Full softmax attention on flattened tokens (CAFormer stages 3-4, ref :299-336)."""
+
+    head_dim: int = 32
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        nh = max(c // self.head_dim, 1)
+        n = h * w
+        qkv = nn.Dense(3 * nh * self.head_dim, use_bias=False, dtype=self.dtype)(x)
+        qkv = qkv.reshape(b, n, 3, nh, self.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.head_dim**-0.5
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, nh * self.head_dim)
+        return nn.Dense(c, dtype=self.dtype)(y)
+
+
+class MetaFormerBlock(nn.Module):
+    mixer: Callable
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    layer_scale: float = 0.0
+    res_scale: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = x.shape[-1]
+        dp = DropPath(self.drop_path)
+
+        def scaled(y, name):
+            if self.layer_scale > 0:
+                g = self.param(name, nn.initializers.constant(self.layer_scale), (c,))
+                y = y * g
+            return y
+
+        y = nn.LayerNorm(use_bias=False, dtype=self.dtype, name="norm1")(x)
+        y = self.mixer(name="token_mixer")(y)
+        x = x + dp(scaled(y, "ls1"), deterministic)
+        y = nn.LayerNorm(use_bias=False, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(c * self.mlp_ratio), use_bias=False, dtype=self.dtype)(y)
+        y = star_relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype)(y)
+        return x + dp(scaled(y, "ls2"), deterministic)
+
+
+class MetaFormer(nn.Module):
+    dims: Sequence[int]
+    depths: Sequence[int]
+    mixers: Sequence[str]  # per-stage: identity|random|pool|sepconv|attention
+    drop_path_rate: float = 0.0
+    img_tokens: Sequence[int] = (3136, 784, 196, 49)  # for random mixing @224
+    dtype: Any = jnp.bfloat16
+
+    def _mixer(self, kind: str, stage: int):
+        if kind == "identity":
+            return lambda name: (lambda x: x)
+        if kind == "random":
+            return partial(RandomMixing, self.img_tokens[stage])
+        if kind == "pool":
+            return Pooling
+        if kind == "sepconv":
+            return partial(SepConv, dtype=self.dtype)
+        if kind == "attention":
+            return partial(VanillaAttention, dtype=self.dtype)
+        raise KeyError(kind)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        det = not train
+        dprs = drop_path_rates(self.drop_path_rate, self.depths)
+        feats = []
+        for s in range(4):
+            if s == 0:
+                x = nn.Conv(
+                    self.dims[0], (7, 7), strides=(4, 4), padding=[(2, 2), (2, 2)],
+                    dtype=self.dtype, name="stem",
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.dims[s], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    dtype=self.dtype, name=f"down{s}",
+                )(x)
+            for j in range(self.depths[s]):
+                x = MetaFormerBlock(
+                    mixer=self._mixer(self.mixers[s], s),
+                    drop_path=dprs[s][j],
+                    dtype=self.dtype,
+                    name=f"block{s}_{j}",
+                )(x, deterministic=det)
+            feats.append(nn.LayerNorm(dtype=self.dtype, name=f"out_norm{s}")(x))
+        return feats
+
+
+_DIMS = {
+    "s": [64, 128, 320, 512],
+    "m": [96, 192, 384, 576],
+    "b": [128, 256, 512, 768],
+}
+_DEPTHS = {
+    "12": [2, 2, 6, 2],
+    "18": [3, 3, 9, 3],
+    "24": [4, 4, 12, 4],
+    "36": [6, 6, 18, 6],
+    "48": [8, 8, 24, 8],
+}
+_FAMILY_MIXERS = {
+    "identityformer": ["identity"] * 4,
+    "randformer": ["identity", "identity", "random", "random"],
+    "poolformerv2": ["pool"] * 4,
+    "convformer": ["sepconv"] * 4,
+    "caformer": ["sepconv", "sepconv", "attention", "attention"],
+}
+_VARIANTS = {
+    "identityformer": ["s12", "s24", "s36", "m36", "m48"],
+    "randformer": ["s12", "s24", "s36", "m36", "m48"],
+    "poolformerv2": ["s12", "s24", "s36", "m36", "m48"],
+    "convformer": ["s18", "s36", "m36", "b36"],
+    "caformer": ["s18", "s36", "m36", "b36"],
+}
+
+
+def _make_metaformer(family: str, variant: str):
+    def factory(dtype: Any = jnp.bfloat16, drop_path_rate: float = 0.0, **kwargs):
+        dims = _DIMS[variant[0]]
+        depths = _DEPTHS[variant[1:]]
+        return (
+            MetaFormer(
+                dims=dims,
+                depths=depths,
+                mixers=_FAMILY_MIXERS[family],
+                drop_path_rate=drop_path_rate,
+                dtype=dtype,
+                **kwargs,
+            ),
+            list(dims),
+        )
+
+    return factory
+
+
+for _fam, _vs in _VARIANTS.items():
+    for _v in _vs:
+        register_backbone(f"{_fam}_{_v}")(_make_metaformer(_fam, _v))

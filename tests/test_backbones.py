@@ -15,6 +15,12 @@ CASES = [
     ("convnextv2_atto", [40, 80, 160, 320], 4),
     ("mobilenetv2", [24, 32, 96, 320], 4),
     ("mobilenetv3", [24, 32, 96, 320], 4),
+    ("efficientvit_b0", [16, 32, 64, 128], 4),
+    ("poolformerv2_s12", [64, 128, 320, 512], 4),
+    ("convformer_s18", [64, 128, 320, 512], 4),
+    ("caformer_s18", [64, 128, 320, 512], 4),
+    ("identityformer_s12", [64, 128, 320, 512], 4),
+    ("rcvit_xs", [48, 56, 112, 220], 4),
 ]
 
 
@@ -22,14 +28,25 @@ CASES = [
 def test_backbone_pyramid(name, channels, levels):
     model, ch = get_backbone(name, dtype=jnp.float32)
     assert ch == channels
-    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32
+    )
     rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "droppath": rng}, x, train=False)
-    feats = model.apply(variables, x, train=False)
+    # train mode: BN normalizes with batch stats (real usage; eval-mode BN at
+    # init is identity, which overflows gated/multiplicative backbones)
+    out = model.apply(
+        variables,
+        x,
+        train=True,
+        rngs={"droppath": rng},
+        mutable=["batch_stats"] if "batch_stats" in variables else [],
+    )
+    feats = out[0] if isinstance(out, tuple) else out
     assert len(feats) == levels
     strides = [4, 8, 16, 32]
     for f, c, s in zip(feats, channels, strides):
-        assert f.shape == (1, 64 // s, 64 // s, c), (name, f.shape, c, s)
+        assert f.shape == (2, 64 // s, 64 // s, c), (name, f.shape, c, s)
         assert np.isfinite(np.asarray(f, np.float32)).all()
 
 
