@@ -59,18 +59,23 @@ def train_step(
 
     def loss_fn(params):
         variables = {"params": params}
-        mutable = []
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-            mutable = ["batch_stats"]
-        out = state.apply_fn(
-            variables,
-            batch["image"],
-            train=True,
-            rngs={"dropout": d_rng, "droppath": p_rng},
-            mutable=mutable,
-        )
-        logits, new_vars = out if mutable else (out, {})
+            logits, new_vars = state.apply_fn(
+                variables,
+                batch["image"],
+                train=True,
+                rngs={"dropout": d_rng, "droppath": p_rng},
+                mutable=["batch_stats"],
+            )
+        else:
+            logits = state.apply_fn(
+                variables,
+                batch["image"],
+                train=True,
+                rngs={"dropout": d_rng, "droppath": p_rng},
+            )
+            new_vars = {}
         loss = compute_loss(
             logits, batch["label"], ignore_index, loss_type, use_dice
         )

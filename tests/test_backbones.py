@@ -21,6 +21,13 @@ CASES = [
     ("caformer_s18", [64, 128, 320, 512], 4),
     ("identityformer_s12", [64, 128, 320, 512], 4),
     ("rcvit_xs", [48, 56, 112, 220], 4),
+    ("crossformer_tiny", [64, 128, 256, 512], 4),
+    ("crossformerpp_small", [64, 128, 256, 512], 4),
+    ("mobilenetv4_small", [32, 64, 96, 128], 4),
+    ("mobilenetv4_hybrid_medium", [48, 80, 160, 256], 4),
+    ("iformer_t", [32, 64, 128, 256], 4),
+    ("kat_tiny_gelu", [192, 192, 192, 192], 4),
+    ("resnet50", [256, 512, 1024, 2048], 4),
 ]
 
 

@@ -67,6 +67,26 @@ def test_dp_sharded_train_step():
     np.testing.assert_allclose(float(m["loss"]), float(mu["loss"]), rtol=1e-5)
 
 
+def test_train_step_without_batch_stats():
+    # all-LN model (no BN): apply path must not go through mutable=[]
+    model = build_model("mit_b0", "mask2formerhead", num_classes=4, dtype=jnp.float32,
+                        embed_dim=128,
+                        head_kwargs={"num_queries": 8, "pixel_layers": 1,
+                                     "decoder_layers": 1})
+    sched = create_schedule("poly", 1e-3, total_steps=10)
+    tx = create_optimizer("adamw", sched, clip_grad=None)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    assert not state.batch_stats
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 4, (2, 32, 32)), jnp.int32),
+    }
+    step = jax.jit(make_train_step(use_dice=False))
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_nonfinite_loss_skips_update():
     _, state, batch, _ = tiny_setup(batch=2, img=32)
     bad_batch = {
