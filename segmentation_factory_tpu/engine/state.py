@@ -91,10 +91,14 @@ def create_train_state(
     input_shape,
     tx: optax.GradientTransformation,
 ) -> TrainState:
-    variables = model.init(
+    # jit the init: one compiled program instead of thousands of eagerly
+    # dispatched ops (critical on remote/tunneled TPU backends)
+    import functools
+
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(
         {"params": rng, "dropout": rng, "droppath": rng},
         jnp.zeros(input_shape, jnp.float32),
-        train=False,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -1,0 +1,205 @@
+"""Inference pipeline: single-image predict, sliding-window, multi-scale TTA.
+
+Rebuild of /root/reference/estimate_model.py (SemSeg :51-123: short-side
+resize to img_size with ceil-to-/32, forward, bilinear resize back, softmax
+argmax, palette colorization + overlay) plus the two capabilities the
+reference lacks but BASELINE.json requires: sliding-window evaluation and
+multi-scale + flip TTA (BASELINE.md configs #4, #5).
+
+All loops over windows/scales are Python loops over static shapes -> each
+unique window shape compiles once; scale set and window grid are static.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from segmentation_factory_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    normalize,
+)
+from segmentation_factory_tpu.models.layers.common import resize
+
+
+def preprocess(image_u8: np.ndarray, img_size: int, divisor: int = 32):
+    """Short-side scale to img_size, ceil both sides to /divisor, normalize
+    (ref estimate_model.py:85-98). Returns (batch (1,H,W,3) f32, orig_hw)."""
+    from PIL import Image
+
+    h, w = image_u8.shape[:2]
+    scale = img_size / min(h, w)
+    nh = int(math.ceil(h * scale / divisor) * divisor)
+    nw = int(math.ceil(w * scale / divisor) * divisor)
+    img = np.asarray(
+        Image.fromarray(image_u8).resize((nw, nh), Image.BILINEAR), np.float32
+    )
+    img = (img - IMAGENET_MEAN * 255.0) / (IMAGENET_STD * 255.0)
+    return jnp.asarray(img[None]), (h, w)
+
+
+def postprocess(logits: jax.Array, orig_hw: Tuple[int, int]) -> np.ndarray:
+    """Resize logits to the original size, argmax (ref :100-112)."""
+    logits = resize(logits.astype(jnp.float32), orig_hw)
+    return np.asarray(jnp.argmax(logits, axis=-1)[0], np.int32)
+
+
+def colorize(seg: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    return palette[np.clip(seg, 0, len(palette) - 1)]
+
+
+def overlay(image_u8: np.ndarray, seg_rgb: np.ndarray, alpha: float = 0.6) -> np.ndarray:
+    """alpha*seg + (1-alpha)*image (ref 0.4/0.6 blend, :107)."""
+    out = (1 - alpha) * image_u8.astype(np.float32) + alpha * seg_rgb.astype(np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def slide_inference(
+    forward: Callable[[jax.Array], jax.Array],
+    image: jax.Array,  # (1, H, W, 3) normalized
+    num_classes: int,
+    crop: int,
+    stride: Optional[int] = None,
+) -> jax.Array:
+    """Sliding-window logits with overlap averaging. Static window grid.
+
+    New capability vs the reference (whole-image only, SURVEY §3.3 note);
+    required for Cityscapes 1024^2 and Synapse volumes (BASELINE configs).
+    """
+    stride = stride or (crop * 2) // 3
+    _, h, w, _ = image.shape
+    if h <= crop and w <= crop:
+        return forward(image)
+    rows = max(math.ceil((h - crop) / stride) + 1, 1)
+    cols = max(math.ceil((w - crop) / stride) + 1, 1)
+    logits = jnp.zeros((1, h, w, num_classes), jnp.float32)
+    count = jnp.zeros((1, h, w, 1), jnp.float32)
+    for r in range(rows):
+        for c in range(cols):
+            y0 = min(r * stride, max(h - crop, 0))
+            x0 = min(c * stride, max(w - crop, 0))
+            win = jax.lax.dynamic_slice(
+                image, (0, y0, x0, 0), (1, min(crop, h), min(crop, w), 3)
+            )
+            out = forward(win).astype(jnp.float32)
+            logits = jax.lax.dynamic_update_slice(
+                logits,
+                jax.lax.dynamic_slice(
+                    logits, (0, y0, x0, 0), out.shape
+                ) + out,
+                (0, y0, x0, 0),
+            )
+            count = jax.lax.dynamic_update_slice(
+                count,
+                jax.lax.dynamic_slice(count, (0, y0, x0, 0), (1, out.shape[1], out.shape[2], 1))
+                + 1.0,
+                (0, y0, x0, 0),
+            )
+    return logits / jnp.maximum(count, 1.0)
+
+
+def multi_scale_flip_inference(
+    forward: Callable[[jax.Array], jax.Array],
+    image: jax.Array,  # (1, H, W, 3) normalized
+    num_classes: int,
+    scales: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+    flip: bool = True,
+    crop: Optional[int] = None,
+    divisor: int = 32,
+) -> jax.Array:
+    """Average softmax over scales (and horizontal flips). Returns (1,H,W,C)."""
+    _, h, w, _ = image.shape
+    acc = jnp.zeros((1, h, w, num_classes), jnp.float32)
+    n = 0
+    for s in scales:
+        nh = max(int(round(h * s / divisor)) * divisor, divisor)
+        nw = max(int(round(w * s / divisor)) * divisor, divisor)
+        img_s = resize(image, (nh, nw))
+        variants = [img_s] + ([img_s[:, :, ::-1, :]] if flip else [])
+        for i, v in enumerate(variants):
+            if crop is not None and (nh > crop or nw > crop):
+                out = slide_inference(forward, v, num_classes, crop)
+            else:
+                out = forward(v).astype(jnp.float32)
+            if i == 1:
+                out = out[:, :, ::-1, :]
+            acc = acc + jax.nn.softmax(resize(out, (h, w)), axis=-1)
+            n += 1
+    return acc / n
+
+
+class SemSeg:
+    """Checkpoint -> predictor (rebuild of estimate_model.SemSeg :51-123)."""
+
+    def __init__(
+        self,
+        backbone: str,
+        head: str,
+        num_classes: int,
+        ckpt_dir: Optional[str] = None,
+        img_size: int = 512,
+        palette: Optional[np.ndarray] = None,
+        embed_dim: Optional[int] = None,
+    ):
+        import flax.linen  # noqa: F401
+        from segmentation_factory_tpu.models import build_model
+
+        self.model = build_model(backbone, head, num_classes, embed_dim=embed_dim)
+        self.num_classes = num_classes
+        self.img_size = img_size
+        import functools
+
+        rng = jax.random.PRNGKey(0)
+        init_fn = jax.jit(functools.partial(self.model.init, train=False))
+        self.variables = init_fn(
+            {"params": rng, "dropout": rng, "droppath": rng},
+            jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+        )
+        if ckpt_dir:
+            self.load(ckpt_dir)
+        if palette is None:
+            palette = np.random.default_rng(0).integers(
+                0, 255, (num_classes, 3)
+            ).astype(np.uint8)
+        self.palette = palette
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    def load(self, ckpt_dir: str) -> None:
+        from segmentation_factory_tpu.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(ckpt_dir)
+        step = mngr.best_step() or mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        restored = mngr.mngr.restore(step)
+        tree = restored["state"]
+        self.variables = {
+            "params": tree["params"],
+            **({"batch_stats": tree["batch_stats"]} if tree["batch_stats"] else {}),
+        }
+        mngr.close()
+
+    def forward(self, batch: jax.Array) -> jax.Array:
+        return self._forward(self.variables, batch)
+
+    def predict(
+        self, image_u8: np.ndarray, tta: bool = False, overlay_alpha: float = 0.6
+    ):
+        """Returns (seg_map (H,W) int32, overlay_rgb (H,W,3) uint8)."""
+        batch, orig_hw = preprocess(image_u8, self.img_size)
+        if tta:
+            logits = multi_scale_flip_inference(
+                self.forward, batch, self.num_classes
+            )
+        else:
+            logits = self.forward(batch)
+        seg = postprocess(logits, orig_hw)
+        seg_rgb = colorize(seg, self.palette)
+        return seg, overlay(image_u8, seg_rgb, overlay_alpha)
