@@ -4,6 +4,7 @@ import segmentation_factory_tpu.models.heads.deeplabv3  # noqa: F401
 import segmentation_factory_tpu.models.heads.efficientvitseg  # noqa: F401
 import segmentation_factory_tpu.models.heads.fpn  # noqa: F401
 import segmentation_factory_tpu.models.heads.mask2former  # noqa: F401
+import segmentation_factory_tpu.models.heads.maskrcnn_head  # noqa: F401
 import segmentation_factory_tpu.models.heads.segformer  # noqa: F401
 import segmentation_factory_tpu.models.heads.upernet  # noqa: F401
 

@@ -1,0 +1,192 @@
+"""Detection stack tests: box ops vs torchvision, coder round-trip, NMS,
+RoIAlign vs torchvision, and an end-to-end Faster/Mask R-CNN forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation_factory_tpu.models.detection import (
+    FasterRCNN,
+    anchors_for_pyramid,
+    balanced_sample,
+    batch_images,
+    box_iou,
+    decode_boxes,
+    encode_boxes,
+    match_proposals,
+    nms_mask,
+    paste_mask_in_image,
+    roi_align,
+)
+
+
+def rand_boxes(n, hw=(64, 64), seed=0):
+    rng = np.random.default_rng(seed)
+    x1 = rng.uniform(0, hw[1] - 8, n)
+    y1 = rng.uniform(0, hw[0] - 8, n)
+    w = rng.uniform(4, 24, n)
+    h = rng.uniform(4, 24, n)
+    return np.stack([x1, y1, np.minimum(x1 + w, hw[1]), np.minimum(y1 + h, hw[0])], -1).astype(np.float32)
+
+
+def np_iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (area_a[:, None] + area_b[None] - inter)
+
+
+def np_nms(boxes, scores, thresh):
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        ious = np_iou(boxes[i : i + 1], boxes)[0]
+        suppressed |= ious > thresh
+        suppressed[i] = False  # don't suppress the kept box itself
+    return sorted(keep)
+
+
+def test_box_iou_matches_numpy_oracle():
+    a, b = rand_boxes(5), rand_boxes(7, seed=1)
+    got = np.asarray(box_iou(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, np_iou(a, b), rtol=1e-5, atol=1e-6)
+
+
+def test_nms_matches_numpy_oracle():
+    boxes = rand_boxes(30)
+    scores = np.random.default_rng(2).uniform(size=30).astype(np.float32)
+    keep_mask = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    got = sorted(np.nonzero(keep_mask)[0].tolist())
+    assert got == np_nms(boxes, scores, 0.5)
+
+
+def test_box_coder_roundtrip():
+    ref = rand_boxes(10)
+    props = rand_boxes(10, seed=3)
+    deltas = encode_boxes(jnp.asarray(ref), jnp.asarray(props))
+    back = decode_boxes(deltas, jnp.asarray(props))
+    np.testing.assert_allclose(np.asarray(back), ref, rtol=1e-4, atol=1e-3)
+
+
+def test_matcher_low_quality():
+    gt = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    anchors = jnp.asarray([[20.0, 20.0, 30.0, 30.0], [1.0, 1.0, 9.0, 9.0]])
+    iou = box_iou(gt, anchors)
+    m = match_proposals(iou, 0.9, 0.3, allow_low_quality=True,
+                        gt_valid=jnp.asarray([True]))
+    # anchor 1 is gt 0's best even though IoU < 0.9 -> kept by low-quality rule
+    assert int(m[1]) == 0
+    m2 = match_proposals(iou, 0.9, 0.3, allow_low_quality=False,
+                         gt_valid=jnp.asarray([True]))
+    assert int(m2[1]) < 0
+
+
+def test_balanced_sampler_counts():
+    pos = jnp.asarray([True] * 10 + [False] * 90)
+    neg = jnp.asarray([False] * 10 + [True] * 90)
+    pw, nw = balanced_sample(jax.random.PRNGKey(0), pos, neg, 64, 0.25)
+    assert int(pw.sum()) == 10  # only 10 positives available (< 16 target)
+    assert int(nw.sum()) == 54  # rest filled with negatives
+
+
+def np_bilinear(feat, y, x):
+    h, w, _ = feat.shape
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    ty, tx = y - y0, x - x0
+    out = 0.0
+    for dy, wy in ((0, 1 - ty), (1, ty)):
+        for dx, wx in ((0, 1 - tx), (1, tx)):
+            yi, xi = y0 + dy, x0 + dx
+            v = feat[yi, xi] if 0 <= yi < h and 0 <= xi < w else 0.0
+            out = out + wy * wx * v
+    return out
+
+
+def test_roi_align_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    feat = rng.normal(size=(16, 16, 8)).astype(np.float32)
+    boxes = np.asarray([[2.0, 3.0, 12.0, 13.0], [0.0, 0.0, 8.0, 8.0]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes), 1.0, 7, 2))
+    out, smp = 7, 2
+    want = np.zeros((2, out, out, 8), np.float32)
+    for bi, (x1, y1, x2, y2) in enumerate(boxes):
+        n = out * smp
+        ys = y1 + (np.arange(n) + 0.5) * (y2 - y1) / n - 0.5
+        xs = x1 + (np.arange(n) + 0.5) * (x2 - x1) / n - 0.5
+        grid = np.stack(
+            [[np_bilinear(feat, y, x) for x in xs] for y in ys]
+        ).reshape(out, smp, out, smp, 8)
+        want[bi] = grid.mean(axis=(1, 3))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_anchors_shapes():
+    anchors, counts = anchors_for_pyramid(
+        [(16, 16), (8, 8), (4, 4), (2, 2)], (64, 64)
+    )
+    assert anchors.shape == (sum(counts), 4)
+    assert counts == [16 * 16 * 3, 8 * 8 * 3, 4 * 4 * 3, 2 * 2 * 3]
+
+
+def test_transform_and_paste():
+    imgs = [np.zeros((50, 70, 3), np.uint8), np.zeros((64, 64, 3), np.uint8)]
+    il = batch_images(imgs, (64, 64))
+    assert il.tensors.shape == (2, 64, 64, 3)
+    assert il.image_sizes[0][0] <= 64
+    mask = np.ones((28, 28), np.float32)
+    out = paste_mask_in_image(mask, np.asarray([10, 10, 20, 20], np.float32), (64, 64))
+    assert out.shape == (64, 64) and out[15, 15] > 0.9 and out[0, 0] == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_rcnn():
+    from segmentation_factory_tpu.registry import get_backbone
+
+    backbone, _ = get_backbone("mobilenetv2", dtype=jnp.float32)
+    model = FasterRCNN(backbone=backbone, num_classes=5, with_mask=True,
+                       post_nms_top_n=32, detections_per_img=8,
+                       dtype=jnp.float32)
+    return model
+
+
+def test_faster_rcnn_inference(tiny_rcnn):
+    model = tiny_rcnn
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False)
+    )({"params": rng, "detection": rng}, x)
+    det = model.apply(variables, x, train=False)
+    assert det["boxes"].shape == (1, 8, 4)
+    assert det["scores"].shape == (1, 8)
+    assert det["masks"].shape[0:2] == (1, 8)
+
+
+def test_faster_rcnn_training_losses(tiny_rcnn):
+    model = tiny_rcnn
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)), jnp.float32)
+    targets = {
+        "boxes": jnp.asarray([[[8.0, 8.0, 30.0, 30.0], [0.0, 0.0, 0.0, 0.0]]]),
+        "labels": jnp.asarray([[1, 0]]),
+        "valid": jnp.asarray([[True, False]]),
+        "masks": jnp.ones((1, 2, 64, 64), jnp.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "detection": rng}, x, train=False
+    )
+    losses = model.apply(
+        variables, x, targets=targets, train=True, rngs={"detection": rng},
+        mutable=["batch_stats"],
+    )[0]
+    for k in ("loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+              "loss_box_reg", "loss_mask"):
+        assert k in losses and np.isfinite(float(losses[k])), k
