@@ -70,12 +70,31 @@ def random_scale_crop(
     scale_range: Tuple[float, float] = (0.5, 2.0),
     ignore_index: int = 255,
     rng: Optional[np.random.Generator] = None,
+    use_native: bool = True,
 ):
     """Random-scale + random-crop + pad-to-crop (ref ExtRandomScale :75-97 +
-    ExtRandomCrop w/ pad :319-392). Output is exactly (crop, crop)."""
+    ExtRandomCrop w/ pad :319-392). Output is exactly (crop, crop).
+
+    Uses the C++ transform engine (native/transform_engine.cpp) when built:
+    the scale+crop+pad runs fused in one pass without PIL or the GIL.
+    """
     rng = rng or np.random.default_rng()
     h, w = img.shape[:2]
     scale = rng.uniform(*scale_range)
+    if use_native:
+        from segmentation_factory_tpu import native
+
+        if native.available():
+            nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+            top = int(rng.integers(0, max(nh - crop, 0) + 1))
+            left = int(rng.integers(0, max(nw - crop, 0) + 1))
+            oi, ol = native.batch_scale_crop(
+                img[None], lbl[None].astype(np.int32),
+                np.asarray([scale], np.float32),
+                np.asarray([top], np.int32), np.asarray([left], np.int32),
+                crop, ignore_index, num_threads=1,
+            )
+            return oi[0], ol[0]
     nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
     img = _pil_resize(img, (nw, nh), nearest=False)
     lbl = _pil_resize(lbl.astype(np.int32), (nw, nh), nearest=True).astype(np.int32)

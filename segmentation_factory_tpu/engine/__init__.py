@@ -2,6 +2,7 @@ from segmentation_factory_tpu.engine.state import (  # noqa: F401
     TrainState,
     create_optimizer,
     create_train_state,
+    recalibrate_bn,
 )
 from segmentation_factory_tpu.engine.steps import (  # noqa: F401
     compute_loss,

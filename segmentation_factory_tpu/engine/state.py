@@ -58,6 +58,38 @@ def _wd_mask(params):
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def recalibrate_bn(state: "TrainState", batches, num_steps: int = 50) -> "TrainState":
+    """Recompute BatchNorm running statistics over a data stream.
+
+    Rebuild of reset_bn (/root/reference/models/layers/norm.py:49-135): run
+    forward passes in train mode, letting the BN EMA re-estimate moments;
+    params are untouched. Cross-replica sync comes for free when the model
+    uses axis_name='data' BatchNorm inside a sharded step.
+    """
+    if not state.batch_stats:
+        return state
+
+    @jax.jit
+    def fwd(params, batch_stats, images):
+        _, new_vars = state.apply_fn(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(0),
+                  "droppath": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"],
+        )
+        return new_vars["batch_stats"]
+
+    bs = state.batch_stats
+    for i, batch in enumerate(batches):
+        if i >= num_steps:
+            break
+        images = batch["image"] if isinstance(batch, dict) else batch
+        bs = fwd(state.params, bs, images)
+    return state.replace(batch_stats=bs)
+
+
 def create_optimizer(
     opt: str,
     schedule: Callable,

@@ -72,31 +72,31 @@ def slide_inference(
     required for Cityscapes 1024^2 and Synapse volumes (BASELINE configs).
     """
     stride = stride or (crop * 2) // 3
-    _, h, w, _ = image.shape
+    b, h, w, _ = image.shape
     if h <= crop and w <= crop:
         return forward(image)
     rows = max(math.ceil((h - crop) / stride) + 1, 1)
     cols = max(math.ceil((w - crop) / stride) + 1, 1)
-    logits = jnp.zeros((1, h, w, num_classes), jnp.float32)
-    count = jnp.zeros((1, h, w, 1), jnp.float32)
+    logits = jnp.zeros((b, h, w, num_classes), jnp.float32)
+    count = jnp.zeros((b, h, w, 1), jnp.float32)
     for r in range(rows):
         for c in range(cols):
             y0 = min(r * stride, max(h - crop, 0))
             x0 = min(c * stride, max(w - crop, 0))
             win = jax.lax.dynamic_slice(
-                image, (0, y0, x0, 0), (1, min(crop, h), min(crop, w), 3)
+                image, (0, y0, x0, 0), (b, min(crop, h), min(crop, w), 3)
             )
             out = forward(win).astype(jnp.float32)
             logits = jax.lax.dynamic_update_slice(
                 logits,
-                jax.lax.dynamic_slice(
-                    logits, (0, y0, x0, 0), out.shape
-                ) + out,
+                jax.lax.dynamic_slice(logits, (0, y0, x0, 0), out.shape) + out,
                 (0, y0, x0, 0),
             )
             count = jax.lax.dynamic_update_slice(
                 count,
-                jax.lax.dynamic_slice(count, (0, y0, x0, 0), (1, out.shape[1], out.shape[2], 1))
+                jax.lax.dynamic_slice(
+                    count, (0, y0, x0, 0), (b, out.shape[1], out.shape[2], 1)
+                )
                 + 1.0,
                 (0, y0, x0, 0),
             )
@@ -131,6 +131,56 @@ def multi_scale_flip_inference(
             acc = acc + jax.nn.softmax(resize(out, (h, w)), axis=-1)
             n += 1
     return acc / n
+
+
+def evaluate_volumes(
+    forward: Callable[[jax.Array], jax.Array],
+    volumes,
+    num_classes: int,
+    crop: int = 224,
+    batch_slices: int = 8,
+) -> dict:
+    """Per-case volumetric eval: slice-wise sliding-window inference +
+    per-case dice, averaged over cases (Synapse protocol, BASELINE.md
+    config #4 — the capability the reference's engine cannot run,
+    SURVEY §2.8 Synapse note).
+
+    ``volumes`` yields (name, image_vol (D,H,W) f32 in [0,1], label_vol
+    (D,H,W) i32), e.g. SynapseCT.volumes().
+    """
+    from segmentation_factory_tpu.metrics import dice_per_case
+
+    per_case = {}
+    for name, img_vol, lbl_vol in volumes:
+        d, h, w = img_vol.shape
+        preds = np.zeros((d, h, w), np.int32)
+        for s0 in range(0, d, batch_slices):
+            sl = img_vol[s0 : s0 + batch_slices]
+            n = sl.shape[0]
+            if n < batch_slices:  # pad to static batch
+                sl = np.concatenate(
+                    [sl, np.zeros((batch_slices - n, h, w), sl.dtype)]
+                )
+            x = jnp.asarray(np.repeat(sl[..., None], 3, axis=-1), jnp.float32)
+            x = normalize(x * 255.0)
+            if h > crop or w > crop:
+                logits = slide_inference(forward, x, num_classes, crop)
+            else:
+                logits = forward(x)
+            preds[s0 : s0 + n] = np.asarray(
+                jnp.argmax(logits, axis=-1), np.int32
+            )[:n]
+        dice = np.asarray(
+            dice_per_case(jnp.asarray(preds), jnp.asarray(lbl_vol), num_classes)
+        )
+        per_case[name] = dice
+    all_dice = np.stack(list(per_case.values()))  # (cases, classes)
+    mean_fg = float(all_dice[:, 1:].mean()) if num_classes > 1 else float(all_dice.mean())
+    return {
+        "mean_dice_fg": 100.0 * mean_fg,
+        "per_class_dice": (100.0 * all_dice.mean(0)).tolist(),
+        "per_case": {k: (100.0 * v.mean()) for k, v in per_case.items()},
+    }
 
 
 class SemSeg:

@@ -191,6 +191,57 @@ def constant_schedule(base_lr: float, **_) -> Callable:
     return lambda t: jnp.full((), base_lr, jnp.float32)
 
 
+class PlateauSchedule:
+    """Metric-driven reduce-on-plateau with warmup (ref plateau_lr.py:12+).
+
+    Host-side stateful (the decision depends on eval metrics, which only
+    exist between epochs); call ``step(metric)`` per epoch and pass the
+    object as ``learning_rate_fn`` — it reads ``self.lr`` at trace time via
+    a closure-free float, so re-jitting is avoided by feeding the lr as a
+    schedule of the optimizer state step: use with optax.inject_hyperparams
+    or rebuild the tx when it changes.
+    """
+
+    def __init__(self, base_lr: float, mode: str = "max", factor: float = 0.1,
+                 patience: int = 10, min_lr: float = 1e-6,
+                 warmup_steps: int = 0, warmup_lr_init: float = 1e-6):
+        self.base_lr = base_lr
+        self.lr = base_lr
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.warmup_steps = warmup_steps
+        self.warmup_lr_init = warmup_lr_init
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        improved = (
+            self.best is None
+            or (self.mode == "max" and metric > self.best)
+            or (self.mode == "min" and metric < self.best)
+        )
+        if improved:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+    def __call__(self, t):
+        # iteration-level warmup, then the current plateau-controlled lr
+        t = jnp.asarray(t, jnp.float32)
+        if self.warmup_steps > 0:
+            frac = jnp.clip(t / self.warmup_steps, 0.0, 1.0)
+            warm = self.warmup_lr_init + frac * (self.base_lr - self.warmup_lr_init)
+            return jnp.where(t < self.warmup_steps, warm, self.lr)
+        return jnp.full((), self.lr, jnp.float32)
+
+
 SCHEDULES = {
     "cosine": cosine_schedule,
     "tanh": tanh_schedule,
@@ -198,6 +249,7 @@ SCHEDULES = {
     "multistep": multistep_schedule,
     "poly": poly_schedule,
     "constant": constant_schedule,
+    "plateau": lambda base_lr, total_steps=0, **kw: PlateauSchedule(base_lr, **kw),
 }
 
 

@@ -1,0 +1,96 @@
+"""PSA, profiling harnesses, plateau schedule, BN recalibration, volume eval."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation_factory_tpu.models.modules.psa import PSAParallel, PSASequential
+from segmentation_factory_tpu.schedule import PlateauSchedule, create_schedule
+from segmentation_factory_tpu.utils.profiling import (
+    get_model_size,
+    latency_ms,
+    throughput,
+)
+
+
+@pytest.mark.parametrize("cls", [PSAParallel, PSASequential])
+def test_psa_shapes(cls):
+    m = cls(dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 16)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(variables, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_plateau_schedule():
+    s = PlateauSchedule(1e-2, mode="max", factor=0.1, patience=1)
+    assert s.step(50.0) == 1e-2  # first metric sets best
+    assert s.step(49.0) == 1e-2  # 1 bad epoch (within patience)
+    lr = s.step(48.0)  # second bad epoch -> reduce
+    assert lr == pytest.approx(1e-3)
+    assert float(s(100)) == pytest.approx(1e-3)
+    s2 = create_schedule("plateau", 1e-2, total_steps=100, patience=2)
+    assert isinstance(s2, PlateauSchedule)
+
+
+def test_throughput_and_latency_and_size():
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((8, 32))
+    ips = throughput(f, x, iters=5, batch_size=8)
+    assert ips > 0
+    ms = latency_ms(f, x, iters=5)
+    assert ms >= 0
+    stats = get_model_size({"w": jnp.ones((10, 10)), "b": jnp.ones((10,))})
+    assert stats["params"] == 110
+
+
+def test_recalibrate_bn_changes_stats():
+    from segmentation_factory_tpu.engine import (
+        create_optimizer,
+        create_train_state,
+        recalibrate_bn,
+    )
+    from segmentation_factory_tpu.models import build_model
+    from segmentation_factory_tpu.schedule import create_schedule as cs
+
+    model = build_model("mobilenetv2", "fpnhead", num_classes=3, dtype=jnp.float32)
+    tx = create_optimizer("adamw", cs("constant", 1e-3, 10))
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+    rng = np.random.default_rng(0)
+    batches = [
+        {"image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)) * 3 + 1, jnp.float32)}
+        for _ in range(3)
+    ]
+    new_state = recalibrate_bn(state, batches, num_steps=3)
+    before = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    after = jax.tree_util.tree_leaves(new_state.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    # params untouched
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+
+
+def test_evaluate_volumes_perfect_predictor():
+    from segmentation_factory_tpu.infer import evaluate_volumes
+
+    d, h, w, nc = 5, 32, 32, 3
+    rng = np.random.default_rng(0)
+    lbl = rng.integers(0, nc, (d, h, w)).astype(np.int32)
+
+    def fake_volumes():
+        yield "case1", lbl.astype(np.float32) / nc, lbl
+
+    def oracle_forward(x):
+        # recover the label from the normalized intensity
+        raw = x * jnp.asarray([0.229, 0.224, 0.225]) * 255.0 + jnp.asarray(
+            [0.485, 0.456, 0.406]
+        ) * 255.0
+        cls = jnp.round(raw[..., 0] / 255.0 * nc).astype(jnp.int32)
+        return jax.nn.one_hot(jnp.clip(cls, 0, nc - 1), nc) * 10.0
+
+    m = evaluate_volumes(oracle_forward, fake_volumes(), nc, crop=64, batch_slices=4)
+    assert m["mean_dice_fg"] > 99.0
+    assert "case1" in m["per_case"]
