@@ -32,6 +32,7 @@ class DataConfig:
     color_jitter: float = 0.5
     scale_range: Tuple[float, float] = (0.5, 2.0)
     hflip: bool = True
+    vflip: bool = False  # polyp/medical pipelines (ref kvasir.py:13-54)
 
 
 @dataclass

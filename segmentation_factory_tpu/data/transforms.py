@@ -176,3 +176,76 @@ def augment_batch(
 
 def preprocess_eval(images_u8: jax.Array) -> jax.Array:
     return normalize(images_u8.astype(jnp.float32))
+
+
+# --- extra photometric ops (ref extra_transform.py :537-685) ---------------
+
+
+def adjust_gamma(img: jax.Array, gamma: float, gain: float = 1.0) -> jax.Array:
+    """uint8-scale gamma correction (ref AdjustGamma :537-560)."""
+    x = jnp.clip(img, 0.0, 255.0) / 255.0
+    return 255.0 * gain * x**gamma
+
+
+def gaussian_blur(img: jax.Array, sigma: float = 1.0, radius: int = 2) -> jax.Array:
+    """Separable gaussian blur over NHWC (ref gaussian-blur :650-660)."""
+    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / k.sum()
+    # depthwise separable: convolve H then W per channel
+    c = img.shape[-1]
+    img_ = jnp.moveaxis(img, -1, 1)  # NCHW for conv_general
+    kernel_h = k.reshape(1, 1, -1, 1)
+    kernel_w = k.reshape(1, 1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        img_.reshape(-1, 1, img.shape[1], img.shape[2]), kernel_h,
+        (1, 1), [(radius, radius), (0, 0)],
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kernel_w, (1, 1), [(0, 0), (radius, radius)],
+    )
+    out = out.reshape(img.shape[0], c, img.shape[1], img.shape[2])
+    return jnp.moveaxis(out, 1, -1)
+
+
+def to_grayscale(img: jax.Array) -> jax.Array:
+    """Luma conversion, broadcast back to 3 channels (ref grayscale :661-666)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    g = jnp.sum(img * w, axis=-1, keepdims=True)
+    return jnp.broadcast_to(g, img.shape)
+
+
+def posterize(img: jax.Array, bits: int = 4) -> jax.Array:
+    """Keep the top ``bits`` bits per channel (ref posterize :680-685)."""
+    shift = 8 - bits
+    x = img.astype(jnp.int32) >> shift << shift
+    return x.astype(img.dtype)
+
+
+def adjust_sharpness(img: jax.Array, factor: float = 2.0) -> jax.Array:
+    """blend(blurred, img, factor) (ref sharpness :622-633)."""
+    blurred = gaussian_blur(img, sigma=1.0, radius=1)
+    return jnp.clip(blurred + factor * (img - blurred), 0.0, 255.0)
+
+
+def autocontrast(img: jax.Array) -> jax.Array:
+    """Per-image/channel min-max stretch (ref autocontrast :634-649)."""
+    lo = jnp.min(img, axis=(1, 2), keepdims=True)
+    hi = jnp.max(img, axis=(1, 2), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1e-3)
+    return jnp.clip((img - lo) * scale, 0.0, 255.0)
+
+
+def equalize(img: jax.Array) -> jax.Array:
+    """Histogram equalization per image/channel over uint8 values
+    (ref equalize :667-679)."""
+    def eq_channel(ch):  # (H, W) float in [0, 255]
+        v = jnp.clip(ch, 0, 255).astype(jnp.int32).reshape(-1)
+        hist = jnp.bincount(v, length=256).astype(jnp.float32)
+        cdf = jnp.cumsum(hist)
+        cdf_min = cdf[jnp.argmax(hist > 0)]
+        denom = jnp.maximum(cdf[-1] - cdf_min, 1.0)
+        lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0.0, 255.0)
+        return lut[v].reshape(ch.shape)
+
+    return jax.vmap(jax.vmap(eq_channel, in_axes=-1, out_axes=-1))(img)

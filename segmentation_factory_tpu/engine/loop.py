@@ -116,7 +116,8 @@ class Trainer:
 
         ign = d.ignore_index
         aug = functools.partial(
-            augment_batch, hflip=d.hflip, color_jitter=d.color_jitter
+            augment_batch, hflip=d.hflip, vflip=d.vflip,
+            color_jitter=d.color_jitter,
         )
 
         def fused_train_step(state, raw_batch, rng):
@@ -146,6 +147,25 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self.results_path = os.path.join(cfg.output_dir, "results.jsonl")
 
+        # rank-0 artifacts: scalars (TB if available) + model summary
+        # (ref train_gpu.py:191-192 SummaryWriter, :273-279 model/args dumps)
+        from segmentation_factory_tpu.utils.profiling import get_model_size
+        from segmentation_factory_tpu.utils.tb import ScalarWriter
+
+        self.writer = (
+            ScalarWriter(os.path.join(cfg.output_dir, "logs"))
+            if jax.process_index() == 0
+            else None
+        )
+        if jax.process_index() == 0:
+            size = get_model_size(self.state.params)
+            with open(os.path.join(cfg.output_dir, "model.txt"), "w") as f:
+                f.write(
+                    f"{cfg.model.backbone} + {cfg.model.head}\n"
+                    f"params: {size['params_M']:.2f}M  "
+                    f"size: {size['size_MB']:.1f}MB\n"
+                )
+
     # ------------------------------------------------------------------
 
     def train_one_epoch(self, epoch: int) -> dict:
@@ -161,8 +181,13 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, batch, self.rng)
             if (i % cfg.print_freq == 0) or i == n - 1:
                 loss = float(metrics["loss"])
+                lr = float(metrics.get("lr", 0.0))
                 skipped += int(metrics.get("skipped_nonfinite", 0))
-                logger.update(loss=loss, lr=float(metrics.get("lr", 0.0)))
+                logger.update(loss=loss, lr=lr)
+                if self.writer is not None:
+                    step = int(self.state.step)
+                    self.writer.add_scalar("train_loss", loss, step)
+                    self.writer.add_scalar("train_lr", lr, step)
         if skipped:
             print(f"warning: {skipped} sampled steps skipped non-finite loss")
         return {"train_loss": logger.meters["loss"].global_avg}
@@ -193,6 +218,9 @@ class Trainer:
                     f"epoch {epoch}: mIoU {m['mIoU']:.2f} mF1 {m['mF1']:.2f} "
                     f"aAcc {m['aAcc']:.2f}"
                 )
+                if self.writer is not None:
+                    for k in ("mIoU", "mF1", "aAcc"):
+                        self.writer.add_scalar(f"val_{k}", m[k], epoch)
                 if m["mIoU"] >= self.best["mIoU"]:
                     self.best = {
                         "mIoU": m["mIoU"],

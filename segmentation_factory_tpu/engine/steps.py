@@ -31,6 +31,13 @@ def compute_loss(
     loss_type: str = "ce",
     use_dice: bool = True,
 ) -> jax.Array:
+    if isinstance(logits, dict):  # mask-classification head (Mask2Former)
+        from segmentation_factory_tpu.losses_mask import mask2former_loss
+
+        num_classes = logits["pred_logits"].shape[-1] - 1
+        return mask2former_loss(
+            logits, labels, num_classes, ignore_index=ignore_index
+        )
     if isinstance(logits, (tuple, list)):
         total = jnp.zeros((), jnp.float32)
         for w, lg in zip(AUX_WEIGHTS, logits):

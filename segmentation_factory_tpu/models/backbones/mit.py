@@ -74,9 +74,10 @@ class SRAttention(nn.Module):
         )
         k, v = kv[:, :, 0], kv[:, :, 1]
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, self.dim)
+        # fused Pallas path on TPU (ops/pallas_attention.py), einsum elsewhere
+        from segmentation_factory_tpu.ops.pallas_attention import sra_attention
+
+        out = sra_attention(q, k, v, scale).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -59,6 +59,10 @@ class SegmentationModel(nn.Module):
         h, w = x.shape[1], x.shape[2]
         feats = self.backbone(x, train=train)
         logits = self.decode_head(feats, train=train)
+        if isinstance(logits, dict):
+            # mask-classification training outputs: stay at head resolution;
+            # the mask loss downsamples its targets instead
+            return logits
         if isinstance(logits, (tuple, list)):  # heads with aux outputs
             main, aux = logits[0], logits[1:]
             main = resize(main, (h, w))

@@ -33,6 +33,7 @@ class Mask2FormerHead(nn.Module):
     num_queries: int = 100
     pixel_layers: int = 6
     decoder_layers: int = 9
+    mask_loss: bool = False  # train with Hungarian mask-classification loss
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -55,6 +56,8 @@ class Mask2FormerHead(nn.Module):
             dtype=self.dtype,
             name="transformer_decoder",
         )(ms_feats, mask_features, deterministic=not train)
+        if train and self.mask_loss:
+            return out  # dict: pred_logits/pred_masks/aux_outputs
         sem = semantic_inference(out["pred_logits"], out["pred_masks"])
         # log-space output so CE losses compose (probabilities -> logits)
         logits = jnp.log(jnp.clip(sem, 1e-6, 1.0))

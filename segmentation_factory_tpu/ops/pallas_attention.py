@@ -1,0 +1,138 @@
+"""Fused spatial-reduction attention (Pallas TPU kernel).
+
+The MiT/SegFormer encoder's hot op (SURVEY §7 step 9b): attention where KV
+was spatially reduced, so M = N / sr^2 is small (256-1024) while N is huge
+(16k at 512^2 stage 1). The naive XLA path materializes the (N, M) fp32
+logits in HBM twice (softmax read/write); this kernel keeps each q-tile's
+logits in VMEM — one HBM read of q/k/v and one write of out.
+
+Single-pass exact softmax (no online rescaling needed: M fits VMEM whole).
+Backward = recompute via the plain XLA formulation (custom VJP) — training
+keeps XLA's fused backward, inference gets the fused forward.
+
+Parity: tests/test_pallas.py checks vs the einsum reference in interpret
+mode (CPU) and compiled (TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _reference(q, k, v, scale):
+    """(BH, N, D) x (BH, M, D) einsum reference (matches mit.SRAttention)."""
+    s = jnp.einsum("bnd,bmd->bnm", q, k) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bnm,bmd->bnd", p, v)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]  # (TQ, D)
+    k = k_ref[0]  # (M, D)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (TQ, M) fp32, lives in VMEM only
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _forward(q, k, v, scale, tile_q):
+    bh, n, d = q.shape
+    m = k.shape[1]
+    pad = (-n) % tile_q
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    np_ = q.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(bh, np_ // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, np_, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * np_ * m * d * 2,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * np_ * m,
+        ),
+    )(q, k, v)
+    return out[:, :n] if pad else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sra_fused(q, k, v, scale, tile_q):
+    return _forward(q, k, v, scale, tile_q)
+
+
+def _fwd(q, k, v, scale, tile_q):
+    return _forward(q, k, v, scale, tile_q), (q, k, v)
+
+
+def _bwd(scale, tile_q, res, g):
+    q, k, v = res
+    # recompute-based backward through the reference formulation: XLA emits
+    # the standard fused attention backward (SURVEY §2.7 recompute guidance)
+    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+_sra_fused.defvjp(_fwd, _bwd)
+
+
+def use_pallas_default() -> bool:
+    if os.environ.get("SFT_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def sra_attention(
+    q: Array,  # (B, N, H, D)
+    k: Array,  # (B, M, H, D)
+    v: Array,  # (B, M, H, D)
+    scale: float,
+    tile_q: int = 512,
+    use_pallas: bool | None = None,
+) -> Array:  # (B, N, H, D)
+    """Multi-head SRA attention; fused Pallas path on TPU, einsum elsewhere."""
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    # VMEM budget: logits tile (tile_q x M fp32) + kv (2 M D) + q tile
+    fits = (tile_q * m * 4 + 2 * m * d * 4 + tile_q * d * 4) < 12 * 1024 * 1024
+    if not use_pallas or not fits or n < tile_q:
+        qr = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+        kr = k.transpose(0, 2, 1, 3).reshape(b * h, m, d)
+        vr = v.transpose(0, 2, 1, 3).reshape(b * h, m, d)
+        out = _reference(qr, kr, vr, scale)
+        return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    qr = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kr = k.transpose(0, 2, 1, 3).reshape(b * h, m, d)
+    vr = v.transpose(0, 2, 1, 3).reshape(b * h, m, d)
+    out = _sra_fused(qr, kr, vr, scale, tile_q)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

@@ -75,6 +75,25 @@ def param_shardings(params, mesh: Mesh, min_tp_dim: int = 256):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def sync_scalar(x, mode: str = "mean"):
+    """Cross-host scalar reduction outside jit (replaces the reference's
+    dist AverageMeter/sync_tensor, models/layers/dist.py:24-96). No-op on a
+    single process."""
+    if jax.process_count() == 1:
+        return float(x)
+    from jax.experimental import multihost_utils
+
+    import numpy as _np
+
+    gathered = multihost_utils.process_allgather(jnp.asarray(x, jnp.float32))
+    arr = _np.asarray(gathered)
+    if mode == "mean":
+        return float(arr.mean())
+    if mode == "sum":
+        return float(arr.sum())
+    raise KeyError(mode)
+
+
 def initialize_multihost() -> None:
     """Multi-host bring-up (one process per host). No-op on a single host.
 

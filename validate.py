@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI: checkpoint -> metrics on a dataset's val split.
+
+Covers the reference's --eval mode (train_gpu.py:309-317, which crashes on a
+nonexistent args.model — SURVEY §8) and the onnx_validate metric re-run.
+Supports whole-image, sliding-window, and multi-scale+flip TTA evaluation,
+plus the Synapse per-case volumetric protocol.
+
+  python validate.py --dataset cityscapes --data-root /data/cityscapes \
+      --backbone mit_b2 --nb-classes 19 --ckpt output/ckpt --tta --crop 1024
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser("TPU Segmentation Factory validation")
+    p.add_argument("--backbone", default="mit_b0")
+    p.add_argument("--seg-head", "--head", dest="head", default="segformerhead")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--data-root", default="./data")
+    p.add_argument("--nb-classes", type=int, default=None)
+    p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--tta", action="store_true")
+    p.add_argument("--slide", action="store_true")
+    p.add_argument("--crop", type=int, default=None, help="sliding-window crop")
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from segmentation_factory_tpu.data import Loader, build_dataset, preprocess_eval
+    from segmentation_factory_tpu.infer import (
+        SemSeg,
+        evaluate_volumes,
+        multi_scale_flip_inference,
+        slide_inference,
+    )
+    from segmentation_factory_tpu.metrics import (
+        compute_metrics,
+        update_confusion_matrix,
+    )
+
+    from train import DEFAULT_CLASSES
+
+    nc = args.nb_classes or DEFAULT_CLASSES[args.dataset.lower()]
+    seg = SemSeg(args.backbone, args.head, nc, ckpt_dir=args.ckpt,
+                 img_size=args.img_size)
+
+    if args.dataset.lower() == "synapse":
+        ds = build_dataset("synapse", args.data_root, "val")
+        m = evaluate_volumes(seg.forward, ds.volumes(), nc,
+                             crop=args.crop or args.img_size)
+        print({k: v for k, v in m.items() if k != "per_case"})
+        return
+
+    kwargs = {"num_classes": nc} if args.dataset.lower() == "synthetic" else {}
+    ds = build_dataset(args.dataset, args.data_root, "val", **kwargs)
+    loader = Loader(ds, args.batch_size, args.img_size, train=False,
+                    eval_hw=(args.img_size, args.img_size),
+                    num_workers=args.workers)
+    hist = jnp.zeros((nc, nc), jnp.int32)
+
+    @jax.jit
+    def update(hist, logits, labels):
+        return update_confusion_matrix(hist, logits, labels, ds.ignore_index)
+
+    for batch in loader:
+        x = preprocess_eval(jnp.asarray(batch["image"]))
+        if args.tta:
+            logits = multi_scale_flip_inference(
+                seg.forward, x, nc, crop=args.crop
+            )
+        elif args.slide and args.crop:
+            logits = slide_inference(seg.forward, x, nc, args.crop)
+        else:
+            logits = seg.forward(x)
+        hist = update(hist, logits, jnp.asarray(batch["label"]))
+    m = compute_metrics(np.asarray(hist))
+    print({k: round(v, 2) for k, v in m.items() if not isinstance(v, list)})
+
+
+if __name__ == "__main__":
+    main()
