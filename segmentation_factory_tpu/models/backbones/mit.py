@@ -99,7 +99,7 @@ class MixFFN(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # exact erf: matches torch nn.GELU
         return nn.Dense(c, dtype=self.dtype, name="fc2")(y)
 
 

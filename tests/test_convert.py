@@ -1,0 +1,104 @@
+"""Cross-framework parity: reference PyTorch MiT -> converted flax params ->
+identical features. The strongest correctness evidence available — the
+actual reference model runs on CPU torch and must agree numerically."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation_factory_tpu.convert import convert_mit
+from segmentation_factory_tpu.registry import get_backbone
+
+
+class _AnyAttr(types.ModuleType):
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return lambda *a, **k: None
+
+
+def _stub(name):
+    m = _AnyAttr(name)
+    sys.modules[name] = m
+    return m
+
+
+@pytest.fixture(scope="module")
+def ref_mit_module():
+    """Load /root/reference/models/backbones/mit.py with absent heavy deps
+    stubbed (fvcore, torchvision, the CUDA extension)."""
+    import torch.nn as tnn
+
+    sys.path.insert(0, "/root/reference")
+    wi = _stub("fvcore.nn.weight_init")
+    fvnn = _stub("fvcore.nn")
+    fvnn.weight_init = wi
+    _stub("fvcore").nn = fvnn
+    ops = _stub("torchvision.ops")
+    ops.MultiScaleRoIAlign = object
+    misc = _stub("torchvision.ops.misc")
+    misc.FrozenBatchNorm2d = tnn.BatchNorm2d
+    _stub("torchvision.ops.boxes")
+    _stub("torchvision").ops = ops
+    _stub("MultiScaleDeformableAttention")
+    spec = importlib.util.spec_from_file_location(
+        "ref_mit", "/root/reference/models/backbones/mit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_mit_b0_torch_parity(ref_mit_module):
+    import torch
+
+    torch.manual_seed(0)
+    ref = ref_mit_module.MiT("B0")
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model, channels = get_backbone("mit_b0", dtype=jnp.float32)
+    params = convert_mit(sd, depths=[2, 2, 2, 2])
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got_feats = model.apply({"params": params}, jnp.asarray(x), train=False)
+
+    assert len(got_feats) == len(ref_feats) == 4
+    for i, (g, r) in enumerate(zip(got_feats, ref_feats)):
+        r_nhwc = r.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(g), r_nhwc, rtol=1e-4, atol=1e-4,
+            err_msg=f"stage {i} mismatch",
+        )
+
+
+def test_converted_tree_matches_init_structure(ref_mit_module):
+    import torch
+
+    ref = ref_mit_module.MiT("B0")
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_mit(sd, depths=[2, 2, 2, 2])
+
+    model, _ = get_backbone("mit_b0", dtype=jnp.float32)
+    init = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 32, 32, 3)),
+        train=False,
+    )["params"]
+    init_paths = {
+        jax.tree_util.keystr(p): v.shape
+        for p, v in jax.tree_util.tree_leaves_with_path(init)
+    }
+    conv_paths = {
+        jax.tree_util.keystr(p): np.shape(v)
+        for p, v in jax.tree_util.tree_leaves_with_path(params)
+    }
+    assert init_paths == conv_paths
