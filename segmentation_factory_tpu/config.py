@@ -17,6 +17,8 @@ class ModelConfig:
     embed_dim: Optional[int] = None  # None -> default_embed_dim rule
     compute_dtype: str = "bfloat16"
     pretrained_backbone: Optional[str] = None
+    finetune: Optional[str] = None  # ckpt dir or reference .pth (converted)
+    freeze: bool = False  # train only classifier keys (ref train_gpu.py:252-257)
 
 
 @dataclass

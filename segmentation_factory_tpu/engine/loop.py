@@ -106,6 +106,9 @@ class Trainer:
         )
         self.state: TrainState = jax.device_put(state, self.replicated)
 
+        if cfg.model.finetune:
+            self.state = self._load_finetune(cfg.model.finetune, cfg.model.freeze)
+
         self.ckpt = CheckpointManager(os.path.join(cfg.output_dir, "ckpt"))
         self.best = {"mIoU": 0.0, "mF1": 0.0, "aAcc": 0.0}
         if cfg.resume:
@@ -167,6 +170,44 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------
+
+    def _load_finetune(self, path: str, freeze: bool):
+        """Finetune init: load ckpt params with classifier-key surgery and
+        optionally freeze everything else (ref train_gpu.py:238-261)."""
+        import optax
+
+        from segmentation_factory_tpu.checkpoint import (
+            CheckpointManager as CM,
+            load_params_for_finetune,
+        )
+
+        if path.endswith(".pth"):
+            from segmentation_factory_tpu.convert import (
+                convert_segmentation_model,
+                load_torch_checkpoint,
+            )
+            from segmentation_factory_tpu.models.backbones.mit import MIT_SETTINGS
+
+            variant = self.cfg.model.backbone.split("_")[-1]
+            depths = MIT_SETTINGS[variant][1]
+            tree = convert_segmentation_model(load_torch_checkpoint(path), depths)
+            ckpt_params = tree["params"]
+        else:
+            src = CM(path)
+            step = src.best_step() or src.latest_step()
+            restored = src.mngr.restore(step)
+            ckpt_params = restored["state"]["params"]
+            src.close()
+        merged, trainable = load_params_for_finetune(
+            self.state.params, ckpt_params, freeze=freeze
+        )
+        state = self.state.replace(params=jax.device_put(merged, self.replicated))
+        if freeze:
+            frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
+            tx = optax.chain(state.tx, optax.masked(optax.set_to_zero(), frozen))
+            state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        print(f"finetune init from {path} (freeze={freeze})")
+        return state
 
     def train_one_epoch(self, epoch: int) -> dict:
         cfg = self.cfg

@@ -32,6 +32,13 @@ def parse_args():
     p.add_argument("--clip-mode", default="agc")
     p.add_argument("--loss", default="ce", help="ce|ohem|focal|dicebce")
     p.add_argument("--no-dice", action="store_true")
+    p.add_argument("--finetune", default=None,
+                   help="checkpoint dir or reference .pth to initialize from")
+    p.add_argument("--freeze-layers", action="store_true",
+                   help="train only the classifier (with --finetune)")
+    p.add_argument("--vflip", action="store_true")
+    p.add_argument("--color-jitter", type=float, default=0.5)
+    p.add_argument("--embed-dim", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--eval", action="store_true", help="evaluate only")
@@ -68,13 +75,22 @@ def main():
 
     nc = args.nb_classes or DEFAULT_CLASSES[args.dataset.lower()]
     cfg = TrainConfig(
-        model=ModelConfig(backbone=args.backbone, head=args.head, num_classes=nc),
+        model=ModelConfig(
+            backbone=args.backbone,
+            head=args.head,
+            num_classes=nc,
+            embed_dim=args.embed_dim,
+            finetune=args.finetune,
+            freeze=args.freeze_layers,
+        ),
         data=DataConfig(
             dataset=args.dataset,
             data_root=args.data_root,
             img_size=args.img_size,
             batch_size=args.batch_size,
             num_workers=args.workers,
+            vflip=args.vflip,
+            color_jitter=args.color_jitter,
         ),
         optim=OptimConfig(
             opt=args.opt,
