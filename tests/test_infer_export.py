@@ -65,6 +65,22 @@ def test_slide_inference_matches_whole_on_uniform(small_model):
     )
 
 
+def test_slide_inference_sharded_matches_serial(small_model):
+    from segmentation_factory_tpu.infer import slide_inference_sharded
+    from segmentation_factory_tpu.parallel import make_mesh
+
+    _, _, fwd = small_model
+    mesh = make_mesh((8, 1))
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 96, 96, 3)), jnp.float32
+    )
+    serial = slide_inference(fwd, img, num_classes=4, crop=64, stride=32)
+    sharded = slide_inference_sharded(fwd, img, 4, crop=64, mesh=mesh, stride=32)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(serial), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_multi_scale_flip_inference(small_model):
     _, _, fwd = small_model
     img = jnp.asarray(
