@@ -140,6 +140,8 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
                 else:
                     batch = jax.tree_util.tree_map(jax.device_put, batch)
                 q.put(batch)
+        except Exception as e:  # surfaced via the queue, not the thread
+            q.put(e)
         finally:
             q.put(_END)
 
@@ -149,4 +151,6 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, Exception):
+            raise item
         yield item

@@ -81,15 +81,18 @@ class VanillaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from segmentation_factory_tpu.ops.pallas_attention import sra_attention
+
         b, h, w, c = x.shape
         nh = max(c // self.head_dim, 1)
         n = h * w
         qkv = nn.Dense(3 * nh * self.head_dim, use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, nh, self.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.head_dim**-0.5
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, nh * self.head_dim)
+        # self-attention (M == N): CAFormer runs this only at strides 16/32,
+        # so the KV block fits VMEM and the fused Pallas path applies
+        y = sra_attention(q, k, v, self.head_dim**-0.5)
+        y = y.reshape(b, h, w, nh * self.head_dim)
         return nn.Dense(c, dtype=self.dtype)(y)
 
 
