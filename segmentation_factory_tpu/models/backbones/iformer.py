@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from segmentation_factory_tpu.models.layers import ConvModule, DropPath, drop_path_rates
@@ -179,6 +180,67 @@ class iFormer(nn.Module):
                                   name=f"block{s}_{j}")(x, train=train)
             feats.append(x)
         return feats
+
+
+def reparameterize_iformer(params, batch_stats, eps: float = 1e-5):
+    """Fold every RepDWBlock's (dw7x7 + dw3x3 + identity + BN) into the dw7x7
+    conv for inference (the reference's RepVGGDW.fuse(), iformer.py:178-226,
+    as a pure param transform).
+
+    After folding: dw_big holds the whole fused op minus the residual input
+    (which the module still adds), dw_small is zero, and the BN stats/affine
+    are reset to identity. Eval-mode forward is numerically unchanged.
+
+    Returns (new_params, new_batch_stats).
+    """
+    import copy
+
+    import numpy as np
+
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    batch_stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, batch_stats))
+
+    def walk(p, s):
+        for key in list(p.keys()):
+            sub = p[key]
+            if not isinstance(sub, dict):
+                continue
+            if "dw_big" in sub and "dw_small" in sub and "bn" in sub:
+                kb = sub["dw_big"]["kernel"]  # (7,7,1,C)
+                ks = sub["dw_small"]["kernel"]  # (3,3,1,C)
+                bb = sub["dw_big"].get("bias", 0.0)
+                bs_ = sub["dw_small"].get("bias", 0.0)
+                k = kb.copy()
+                k[2:5, 2:5] += ks  # pad 3x3 into the 7x7 center
+                c = k.shape[-1]
+                center = np.zeros_like(k)
+                center[3, 3, 0, :] = 1.0
+                stats = s[key]["bn"]["BatchNorm_0"] if "BatchNorm_0" in s.get(key, {}).get("bn", {}) else s[key]["bn"]
+                mean = stats["mean"]
+                var = stats["var"]
+                bn = sub["bn"]["BatchNorm_0"] if "BatchNorm_0" in sub["bn"] else sub["bn"]
+                gamma = bn["scale"]
+                beta = bn["bias"]
+                scale = gamma / np.sqrt(var + eps)
+                # BN(big+small+x) = scale*(K_all * x + b - mean) + beta
+                # module computes big'(x) + small'(x) + x with BN = identity:
+                # big' kernel = scale*(K + I) - I, bias = scale*(b - mean) + beta
+                fused_k = (k + center) * scale.reshape(1, 1, 1, c) - center
+                fused_b = scale * (np.asarray(bb) + np.asarray(bs_) - mean) + beta
+                sub["dw_big"]["kernel"] = fused_k
+                sub["dw_big"]["bias"] = fused_b
+                sub["dw_small"]["kernel"] = np.zeros_like(ks)
+                if "bias" in sub["dw_small"]:
+                    sub["dw_small"]["bias"] = np.zeros_like(sub["dw_small"]["bias"])
+                bn["scale"] = np.ones_like(gamma)
+                bn["bias"] = np.zeros_like(beta)
+                stats["mean"] = np.zeros_like(mean)
+                stats["var"] = np.ones_like(var)
+            else:
+                walk(sub, s.get(key, {}) if isinstance(s, dict) else {})
+
+    walk(params, batch_stats)
+    return params, batch_stats
 
 
 def _make_iformer(variant: str):

