@@ -107,6 +107,43 @@ def mask_iou(pred_mask: Array, gt_mask: Array) -> Array:
     return jnp.where(union > 0, inter / union, 0.0).astype(jnp.float32)
 
 
+def mean_absolute_error(pred: Array, target: Array) -> Array:
+    """Saliency MAE over [0,1] maps (ref util/metrics.py:136-164)."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    if p.max() > 1.5:
+        p = p / 255.0
+    if t.max() > 1.5:
+        t = t / 255.0
+    return jnp.mean(jnp.abs(p - t))
+
+
+def thresholded_f1(
+    pred: Array, target: Array, num_thresholds: int = 255, beta2: float = 0.3
+) -> Dict[str, Array]:
+    """Histogram-thresholded F-beta for saliency maps (ref metrics.py:167-232):
+    sweep thresholds over [0, 1), compute precision/recall per threshold,
+    report the max and adaptive (2*mean) scores."""
+    p = pred.astype(jnp.float32).reshape(-1)
+    t = (target.astype(jnp.float32).reshape(-1) > 0.5).astype(jnp.float32)
+    if pred.max() > 1.5:
+        p = p / 255.0
+    ths = jnp.linspace(0.0, 1.0 - 1e-6, num_thresholds)
+    binarized = (p[None, :] >= ths[:, None]).astype(jnp.float32)  # (T, N)
+    tp = binarized @ t
+    fp = binarized @ (1.0 - t)
+    fn = jnp.sum(t) - tp
+    precision = tp / jnp.maximum(tp + fp, 1e-8)
+    recall = tp / jnp.maximum(tp + fn, 1e-8)
+    f = (1 + beta2) * precision * recall / jnp.maximum(
+        beta2 * precision + recall, 1e-8
+    )
+    adaptive_th = jnp.clip(2.0 * jnp.mean(p), 0.0, 1.0 - 1e-6)
+    idx = jnp.clip((adaptive_th * num_thresholds).astype(jnp.int32), 0,
+                   num_thresholds - 1)
+    return {"max_f": jnp.max(f), "adaptive_f": f[idx], "mean_f": jnp.mean(f)}
+
+
 def panoptic_quality(hist) -> Dict[str, float]:
     """PQ/SQ/RQ via greedy IoU>0.5 matching on the semantic confusion matrix.
 

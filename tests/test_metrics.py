@@ -74,6 +74,23 @@ def test_mask_iou():
     assert float(mask_iou(a, b)) == pytest.approx(1 / 3)
 
 
+def test_mean_absolute_error():
+    from segmentation_factory_tpu.metrics import mean_absolute_error
+
+    p = jnp.asarray([[0.2, 0.8]])
+    t = jnp.asarray([[0.0, 1.0]])
+    assert float(mean_absolute_error(p, t)) == pytest.approx(0.2, rel=1e-6)
+
+
+def test_thresholded_f1_perfect_prediction():
+    from segmentation_factory_tpu.metrics import thresholded_f1
+
+    t = jnp.asarray(np.random.default_rng(0).integers(0, 2, (32, 32)), jnp.float32)
+    out = thresholded_f1(t, t)
+    assert float(out["max_f"]) > 0.99
+    assert 0.0 <= float(out["mean_f"]) <= 1.0
+
+
 def test_panoptic_quality_perfect():
     h = np.diag([10, 10])
     pq = panoptic_quality(h)

@@ -84,6 +84,12 @@ def main():
         hist = update(hist, logits, jnp.asarray(batch["label"]))
     m = compute_metrics(np.asarray(hist))
     print({k: round(v, 2) for k, v in m.items() if not isinstance(v, list)})
+    # per-class table (reference prints per-class IoU via ConfusionMatrix)
+    names = list(getattr(ds, "CLASSES", [])) or [f"class_{i}" for i in range(nc)]
+    width = max(len(n) for n in names)
+    print(f"{'class':<{width}}  IoU    F1")
+    for n, iou, f1 in zip(names, m["ious"], m["f1s"]):
+        print(f"{n:<{width}}  {iou:5.1f}  {f1:5.1f}")
 
 
 if __name__ == "__main__":
