@@ -56,6 +56,14 @@ class Trainer:
         self.val_ds = val_ds or build_dataset(d.dataset, d.data_root, "val")
         nc = cfg.model.num_classes
 
+        dp = mesh_shape[0]
+        assert d.batch_size % dp == 0, (
+            f"train batch_size {d.batch_size} must be divisible by the data "
+            f"axis ({dp} devices)"
+        )
+        # round the eval batch up to the data axis; the loader pads partial
+        # batches with ignore-labelled samples, so metrics are unaffected
+        val_bs = -(-max(d.val_batch_size, 1) // dp) * dp
         self.train_loader = Loader(
             self.train_ds,
             d.batch_size,
@@ -67,7 +75,7 @@ class Trainer:
         )
         self.val_loader = Loader(
             self.val_ds,
-            max(d.val_batch_size, 1),
+            val_bs,
             d.img_size,
             train=False,
             eval_hw=(d.img_size, d.img_size),
