@@ -90,7 +90,12 @@ class GRN(nn.Module):
 NORMS: dict[str, Callable] = {
     "bn": BatchNorm,
     "bn2d": BatchNorm,
-    "sync_bn": lambda **kw: BatchNorm(axis_name="data", **kw),
+    # under jit with the batch sharded over 'data', plain BatchNorm already
+    # computes GLOBAL batch moments (XLA reduces across devices) — i.e. the
+    # default IS SyncBN, unlike torch's per-replica BN. The axis_name variant
+    # exists for shard_map contexts where reductions are per-shard.
+    "sync_bn": BatchNorm,
+    "sync_bn_shardmap": lambda **kw: BatchNorm(axis_name="data", **kw),
     "ln": LayerNorm,
     "ln2d": LayerNorm,  # NHWC: channel-last LN == the reference's LayerNorm2d
     "gn": GroupNorm,
