@@ -243,7 +243,7 @@ class Trainer:
 
     def evaluate(self) -> dict:
         nc = self.cfg.model.num_classes
-        hist = jax.device_put(jnp.zeros((nc, nc), jnp.int32), self.replicated)
+        hist = jax.device_put(jnp.zeros((nc, nc), jnp.uint32), self.replicated)
         it = prefetch_to_device(iter(self.val_loader), self.batch_sharding)
         for batch in it:
             hist = self.eval_step(self.state, batch, hist)

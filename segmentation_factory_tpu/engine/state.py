@@ -100,7 +100,9 @@ def create_optimizer(
     params=None,
 ) -> optax.GradientTransformation:
     opt = opt.lower()
-    wd_mask = _wd_mask(params) if params is not None else None
+    # optax accepts a callable mask, so the timm no-decay convention applies
+    # even when params aren't known yet (the mask is built lazily at init)
+    wd_mask = _wd_mask(params) if params is not None else _wd_mask
     if opt == "adamw":
         core = optax.adamw(schedule, weight_decay=weight_decay, mask=wd_mask)
     elif opt == "adam":

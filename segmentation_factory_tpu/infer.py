@@ -121,10 +121,16 @@ def slide_inference_sharded(
     _, h, w, _ = image.shape
     if h <= crop and w <= crop:
         return forward(image)
-    rows = max(math.ceil((h - crop) / stride) + 1, 1)
-    cols = max(math.ceil((w - crop) / stride) + 1, 1)
+    # pad up so both dims are >= crop: with e.g. 768x1536 and crop=1024 one
+    # spatial dim is smaller than the window and a (crop, crop) slice would
+    # be out of bounds; the padded margin is cropped off the result
+    ph, pw = max(h, crop), max(w, crop)
+    if (ph, pw) != (h, w):
+        image = jnp.pad(image, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+    rows = max(math.ceil((ph - crop) / stride) + 1, 1)
+    cols = max(math.ceil((pw - crop) / stride) + 1, 1)
     coords = [
-        (min(r * stride, max(h - crop, 0)), min(c * stride, max(w - crop, 0)))
+        (min(r * stride, max(ph - crop, 0)), min(c * stride, max(pw - crop, 0)))
         for r in range(rows)
         for c in range(cols)
     ]
@@ -140,8 +146,8 @@ def slide_inference_sharded(
     wins = jax.device_put(wins, NamedSharding(mesh, P("data")))
     outs = forward(wins).astype(jnp.float32)  # (n_win, crop, crop, C)
     outs = jax.device_put(outs, NamedSharding(mesh, P()))
-    logits = jnp.zeros((1, h, w, num_classes), jnp.float32)
-    count = jnp.zeros((1, h, w, 1), jnp.float32)
+    logits = jnp.zeros((1, ph, pw, num_classes), jnp.float32)
+    count = jnp.zeros((1, ph, pw, 1), jnp.float32)
     for i, (y0, x0) in enumerate(coords):
         logits = jax.lax.dynamic_update_slice(
             logits,
@@ -154,7 +160,7 @@ def slide_inference_sharded(
             jax.lax.dynamic_slice(count, (0, y0, x0, 0), (1, crop, crop, 1)) + 1.0,
             (0, y0, x0, 0),
         )
-    return logits / jnp.maximum(count, 1.0)
+    return (logits / jnp.maximum(count, 1.0))[:, :h, :w]
 
 
 def multi_scale_flip_inference(

@@ -117,8 +117,10 @@ def mask2former_loss(
         def cls_targets(assign_b):
             t = jnp.full((qn,), num_classes, jnp.int32)  # no-object
             cls_ids = jnp.arange(num_classes)
-            qidx = jnp.clip(assign_b, 0)
-            t = t.at[qidx].set(jnp.where(assign_b >= 0, cls_ids, num_classes))
+            # route unmatched targets (-1) out of range and drop them, so a
+            # no-object write can never clobber a real class matched to q0
+            qidx = jnp.where(assign_b >= 0, assign_b, qn)
+            t = t.at[qidx].set(cls_ids, mode="drop")
             return t
 
         tgt_cls = jax.vmap(cls_targets)(assign)  # (B, Q)

@@ -1,14 +1,12 @@
 """Streaming segmentation metrics as device-resident arrays.
 
 Rebuild of /root/reference/util/metrics.py + util/utils.py:94-143
-(ConfusionMatrix). The accumulator is a (C, C) int64... on TPU we use int32
-histograms per step summed into a fp64-safe uint32? — int32 overflows at
-2^31 pixels per cell, so the running total is kept in ``jnp.int64``-equivalent
-via float64-free uint: we accumulate in ``jnp.uint32`` per step and running
-``jnp.float32`` totals would lose precision, so the running hist is int32 per
-step and summed on host as numpy int64 OR kept on device as int32 when the
-epoch pixel count < 2^31 (true for every reference config). We keep it simple:
-device int32 step hist, device int32 running hist (eval sets are < 2^31 px).
+(ConfusionMatrix). The reference accumulates an int64 (C, C) histogram;
+TPU has no int64, so the running histogram is ``jnp.uint32``: capacity is
+2^32 pixels per (gt, pred) cell — worst case (every pixel in one cell)
+that is ~4000 Cityscapes-val epochs (500 x 2 MPx ~= 1e9 px/epoch), so a
+single eval pass can never overflow. ``compute_metrics`` promotes to numpy
+float64 on the host before any division.
 
 Cross-host merge is a ``jax.lax.psum`` inside the jitted eval step (replacing
 torch.distributed.all_reduce, ref utils.py:125-131).
@@ -40,7 +38,7 @@ def confusion_matrix(
     valid = (t >= 0) & (t < num_classes) & (t != ignore_index)
     idx = jnp.where(valid, t * num_classes + p, num_classes * num_classes)
     hist = jnp.bincount(idx, length=num_classes * num_classes + 1)[:-1]
-    return hist.reshape(num_classes, num_classes).astype(jnp.int32)
+    return hist.reshape(num_classes, num_classes).astype(jnp.uint32)
 
 
 def update_confusion_matrix(
@@ -111,10 +109,9 @@ def mean_absolute_error(pred: Array, target: Array) -> Array:
     """Saliency MAE over [0,1] maps (ref util/metrics.py:136-164)."""
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
-    if p.max() > 1.5:
-        p = p / 255.0
-    if t.max() > 1.5:
-        t = t / 255.0
+    # traced-value-safe autoscaling (usable inside jit)
+    p = jnp.where(p.max() > 1.5, p / 255.0, p)
+    t = jnp.where(t.max() > 1.5, t / 255.0, t)
     return jnp.mean(jnp.abs(p - t))
 
 
@@ -126,8 +123,7 @@ def thresholded_f1(
     report the max and adaptive (2*mean) scores."""
     p = pred.astype(jnp.float32).reshape(-1)
     t = (target.astype(jnp.float32).reshape(-1) > 0.5).astype(jnp.float32)
-    if pred.max() > 1.5:
-        p = p / 255.0
+    p = jnp.where(p.max() > 1.5, p / 255.0, p)
     ths = jnp.linspace(0.0, 1.0 - 1e-6, num_thresholds)
     binarized = (p[None, :] >= ths[:, None]).astype(jnp.float32)  # (T, N)
     tp = binarized @ t

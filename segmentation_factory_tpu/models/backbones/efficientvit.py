@@ -1,9 +1,14 @@
-"""EfficientViT backbone + its block library (LiteMLA linear attention).
+"""EfficientViT backbone family + its block library (LiteMLA linear attention).
 
 Parity with /root/reference/models/layers/ops.py (ConvLayer :64, DSConv
-:175, MBConv :217, FusedMBConv :272, LiteMLA :363-514, EfficientViTBlock
-:516, ResidualBlock :560, DAGBlock :593, OpSequential :630) and
-/root/reference/models/backbones/efficientViT.py (b0-b3 :161-199).
+:175, MBConv :217, FusedMBConv :272, ResBlock :318, LiteMLA :363-514,
+EfficientViTBlock :516, ResidualBlock :560) and
+/root/reference/models/backbones/efficientViT.py (b0-b3 :35-199,
+EfficientViTLargeBackbone + l0-l3 :201-378).
+
+Blocks take per-conv ``norms``/``acts``/``biases`` tuples exactly like the
+reference's val2tuple plumbing, so the "fewer_norm" stages (norm only on the
+projection conv, biases elsewhere) match layer-for-layer.
 
 TPU notes: LiteMLA's ReLU-linear attention is two MXU matmuls
 (K^T V then Q (K^T V)) with cost O(N * d^2) — already the ideal TPU shape;
@@ -29,25 +34,44 @@ EFFICIENTVIT_SETTINGS = {
     "b3": ([32, 64, 128, 256, 512], [1, 4, 6, 6, 9]),
 }
 
+EFFICIENTVIT_LARGE_SETTINGS = {
+    # name: (widths, depths)  — ref efficientViT.py:342-378
+    "l0": ([32, 64, 128, 256, 512], [1, 1, 1, 4, 4]),
+    "l1": ([32, 64, 128, 256, 512], [1, 1, 1, 6, 6]),
+    "l2": ([32, 64, 128, 256, 512], [1, 2, 2, 8, 8]),
+    "l3": ([64, 128, 256, 512, 1024], [1, 2, 2, 8, 8]),
+}
+
+
+def _nt(v, n: int):
+    """val2tuple (ref models/utils.py): broadcast a scalar to an n-tuple."""
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n
+        return tuple(v)
+    return (v,) * n
+
 
 class DSConv(nn.Module):
     """Depthwise-separable conv (ref ops.py:175)."""
 
     out_ch: int
     stride: int = 1
-    norm: str = "bn"
-    act: str = "relu6"
+    norms: Any = "bn"
+    acts: Any = ("relu6", None)
+    biases: Any = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        norms, acts, biases = _nt(self.norms, 2), _nt(self.acts, 2), _nt(self.biases, 2)
         c = x.shape[-1]
         x = ConvModule(
-            c, 3, strides=self.stride, padding=1, groups=c, norm=self.norm,
-            act=self.act, dtype=self.dtype,
+            c, 3, strides=self.stride, padding=1, groups=c, norm=norms[0],
+            act=acts[0], use_bias=biases[0], dtype=self.dtype, name="depth_conv",
         )(x, train=train)
         return ConvModule(
-            self.out_ch, 1, norm=self.norm, act=None, dtype=self.dtype
+            self.out_ch, 1, norm=norms[1], act=acts[1], use_bias=biases[1],
+            dtype=self.dtype, name="point_conv",
         )(x, train=train)
 
 
@@ -56,24 +80,28 @@ class MBConv(nn.Module):
 
     out_ch: int
     stride: int = 1
-    expand: float = 4.0
-    norm: str = "bn"
-    act: str = "relu6"
+    expand: float = 6.0
+    norms: Any = "bn"
+    acts: Any = ("relu6", "relu6", None)
+    biases: Any = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        norms, acts, biases = _nt(self.norms, 3), _nt(self.acts, 3), _nt(self.biases, 3)
         mid = round(x.shape[-1] * self.expand)
-        y = ConvModule(mid, 1, norm=self.norm, act=self.act, dtype=self.dtype)(
-            x, train=train
-        )
         y = ConvModule(
-            mid, 3, strides=self.stride, padding=1, groups=mid, norm=self.norm,
-            act=self.act, dtype=self.dtype,
+            mid, 1, norm=norms[0], act=acts[0], use_bias=biases[0],
+            dtype=self.dtype, name="inverted_conv",
+        )(x, train=train)
+        y = ConvModule(
+            mid, 3, strides=self.stride, padding=1, groups=mid, norm=norms[1],
+            act=acts[1], use_bias=biases[1], dtype=self.dtype, name="depth_conv",
         )(y, train=train)
-        return ConvModule(self.out_ch, 1, norm=self.norm, act=None, dtype=self.dtype)(
-            y, train=train
-        )
+        return ConvModule(
+            self.out_ch, 1, norm=norms[2], act=acts[2], use_bias=biases[2],
+            dtype=self.dtype, name="point_conv",
+        )(y, train=train)
 
 
 class FusedMBConv(nn.Module):
@@ -81,21 +109,49 @@ class FusedMBConv(nn.Module):
 
     out_ch: int
     stride: int = 1
-    expand: float = 4.0
-    norm: str = "bn"
-    act: str = "relu6"
+    expand: float = 6.0
+    norms: Any = "bn"
+    acts: Any = ("relu6", None)
+    biases: Any = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        norms, acts, biases = _nt(self.norms, 2), _nt(self.acts, 2), _nt(self.biases, 2)
         mid = round(x.shape[-1] * self.expand)
         y = ConvModule(
-            mid, 3, strides=self.stride, padding=1, norm=self.norm, act=self.act,
-            dtype=self.dtype,
+            mid, 3, strides=self.stride, padding=1, norm=norms[0], act=acts[0],
+            use_bias=biases[0], dtype=self.dtype, name="spatial_conv",
         )(x, train=train)
-        return ConvModule(self.out_ch, 1, norm=self.norm, act=None, dtype=self.dtype)(
-            y, train=train
-        )
+        return ConvModule(
+            self.out_ch, 1, norm=norms[1], act=acts[1], use_bias=biases[1],
+            dtype=self.dtype, name="point_conv",
+        )(y, train=train)
+
+
+class ResBlock(nn.Module):
+    """Two 3x3 convs (ref ops.py:318)."""
+
+    out_ch: int
+    stride: int = 1
+    expand: float = 1.0
+    norms: Any = "bn"
+    acts: Any = ("relu6", None)
+    biases: Any = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norms, acts, biases = _nt(self.norms, 2), _nt(self.acts, 2), _nt(self.biases, 2)
+        mid = round(x.shape[-1] * self.expand)
+        y = ConvModule(
+            mid, 3, strides=self.stride, padding=1, norm=norms[0], act=acts[0],
+            use_bias=biases[0], dtype=self.dtype, name="conv1",
+        )(x, train=train)
+        return ConvModule(
+            self.out_ch, 3, padding=1, norm=norms[1], act=acts[1],
+            use_bias=biases[1], dtype=self.dtype, name="conv2",
+        )(y, train=train)
 
 
 class LiteMLA(nn.Module):
@@ -106,7 +162,7 @@ class LiteMLA(nn.Module):
     """
 
     out_ch: int
-    head_dim: int = 16
+    head_dim: int = 32
     scales: Tuple[int, ...] = (5,)
     norm: str = "bn"
     dtype: Any = None
@@ -114,8 +170,10 @@ class LiteMLA(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
-        total_dim = c  # qkv each get c channels
-        qkv = nn.Conv(3 * total_dim, (1, 1), use_bias=False, dtype=self.dtype, name="qkv")(x)
+        total_dim = (c // self.head_dim) * self.head_dim  # heads * dim
+        qkv = nn.Conv(
+            3 * total_dim, (1, 1), use_bias=False, dtype=self.dtype, name="qkv"
+        )(x)
         multi = [qkv]
         for s in self.scales:
             y = nn.Conv(
@@ -158,64 +216,158 @@ class LiteMLA(nn.Module):
 
 
 class EfficientViTBlock(nn.Module):
-    """LiteMLA residual + MBConv residual (ref ops.py:516)."""
+    """LiteMLA residual + MBConv residual (ref ops.py:516-552).
 
-    head_dim: int = 16
+    The local MBConv uses the "fewer norm" convention: biases + no norm on
+    the first two convs, BN only after the projection (ref :540-545).
+    """
+
+    head_dim: int = 32
     expand: float = 4.0
+    act: str = "hswish"
+    scales: Tuple[int, ...] = (5,)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        x = x + LiteMLA(c, head_dim=self.head_dim, dtype=self.dtype, name="context")(
-            x, train=train
-        )
-        x = x + MBConv(c, expand=self.expand, act="hswish", dtype=self.dtype, name="local")(
-            x, train=train
-        )
+        x = x + LiteMLA(
+            c, head_dim=self.head_dim, scales=self.scales, dtype=self.dtype,
+            name="context",
+        )(x, train=train)
+        x = x + MBConv(
+            c, expand=self.expand, norms=(None, None, "bn"),
+            acts=(self.act, self.act, None), biases=(True, True, False),
+            dtype=self.dtype, name="local",
+        )(x, train=train)
         return x
 
 
 class EfficientViTBackbone(nn.Module):
+    """b-series (ref efficientViT.py:35-158): DSConv stem, MBConv stages 1-2,
+    fewer-norm MBConv downsample + attention blocks in stages 3-4."""
+
     widths: Sequence[int]
     depths: Sequence[int]
-    head_dim: int = 16
+    head_dim: int = 32
+    expand: float = 4.0
+    act: str = "hswish"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        w = self.widths
-        d = self.depths
-        # input stem: conv stride 2 + DSConv residuals (ref efficientViT.py:39-50)
+        w, d = self.widths, self.depths
+        a = self.act
         x = ConvModule(
-            w[0], 3, strides=2, padding=1, norm="bn", act="hswish", dtype=self.dtype,
+            w[0], 3, strides=2, padding=1, norm="bn", act=a, dtype=self.dtype,
             name="stem_conv",
         )(x, train=train)
+        # stem blocks: expand_ratio=1 -> DSConv residuals (ref :59-68)
         for i in range(d[0]):
-            x = x + DSConv(w[0], act="hswish", dtype=self.dtype, name=f"stem_{i}")(
-                x, train=train
-            )
+            x = x + DSConv(
+                w[0], acts=(a, None), dtype=self.dtype, name=f"stem_{i}"
+            )(x, train=train)
         feats = []
-        # stages 1-2: MBConv (ref :52-62)
+        # stages 1-2: MBConv, first block strides (ref :75-91)
         for s in (1, 2):
             for i in range(d[s]):
                 stride = 2 if i == 0 else 1
                 y = MBConv(
-                    w[s], stride=stride, expand=4 if stride == 1 else 16,
-                    act="hswish", dtype=self.dtype, name=f"stage{s}_{i}",
+                    w[s], stride=stride, expand=self.expand,
+                    acts=(a, a, None), dtype=self.dtype, name=f"stage{s}_{i}",
                 )(x, train=train)
                 x = y if stride == 2 else x + y
             feats.append(x)
-        # stages 3-4: downsample MBConv + EfficientViT blocks (ref :64-84)
+        # stages 3-4: fewer-norm downsample MBConv + attention (ref :93-117)
         for s in (3, 4):
             x = MBConv(
-                w[s], stride=2, expand=16, act="hswish", dtype=self.dtype,
-                name=f"stage{s}_down",
+                w[s], stride=2, expand=self.expand, norms=(None, None, "bn"),
+                acts=(a, a, None), biases=(True, True, False),
+                dtype=self.dtype, name=f"stage{s}_down",
             )(x, train=train)
             for i in range(d[s]):
                 x = EfficientViTBlock(
-                    head_dim=self.head_dim, dtype=self.dtype, name=f"stage{s}_{i}"
+                    head_dim=self.head_dim, expand=self.expand, act=a,
+                    dtype=self.dtype, name=f"stage{s}_{i}",
                 )(x, train=train)
+            feats.append(x)
+        return feats  # strides 4, 8, 16, 32
+
+
+class EfficientViTLargeBackbone(nn.Module):
+    """Large family (ref efficientViT.py:201-339): block schedule
+    [res, fmb, fmb, mb, att], expands [1, 4, 4, 4, 6], fewer-norm on the
+    last two stages, GELU activations, 32-dim attention heads."""
+
+    widths: Sequence[int]
+    depths: Sequence[int]
+    head_dim: int = 32
+    act: str = "gelu"
+    dtype: Any = jnp.bfloat16
+
+    BLOCKS = ("res", "fmb", "fmb", "mb", "att")
+    EXPANDS = (1.0, 4.0, 4.0, 4.0, 6.0)
+    FEWER_NORM = (False, False, False, True, True)
+
+    def _local(self, kind, out_ch, stride, expand, fewer, name):
+        """build_local_block (ref :291-330)."""
+        a = self.act
+        if kind == "res":
+            return ResBlock(
+                out_ch, stride=stride, expand=expand,
+                norms=(None, "bn") if fewer else "bn", acts=(a, None),
+                biases=(True, False) if fewer else False,
+                dtype=self.dtype, name=name,
+            )
+        if kind == "fmb":
+            return FusedMBConv(
+                out_ch, stride=stride, expand=expand,
+                norms=(None, "bn") if fewer else "bn", acts=(a, None),
+                biases=(True, False) if fewer else False,
+                dtype=self.dtype, name=name,
+            )
+        if kind == "mb":
+            return MBConv(
+                out_ch, stride=stride, expand=expand,
+                norms=(None, None, "bn") if fewer else "bn", acts=(a, a, None),
+                biases=(True, True, False) if fewer else False,
+                dtype=self.dtype, name=name,
+            )
+        raise KeyError(kind)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w, d = self.widths, self.depths
+        x = ConvModule(
+            w[0], 3, strides=2, padding=1, norm="bn", act=self.act,
+            dtype=self.dtype, name="stem_conv",
+        )(x, train=train)
+        for i in range(d[0]):
+            x = x + self._local(
+                self.BLOCKS[0], w[0], 1, self.EXPANDS[0], self.FEWER_NORM[0],
+                f"stem_{i}",
+            )(x, train=train)
+        feats = []
+        for s in (1, 2, 3, 4):
+            kind = self.BLOCKS[s]
+            # downsample: mb unless the stage itself is mb/fmb; expand x4,
+            # non-residual (ref :247-259)
+            down_kind = kind if kind in ("mb", "fmb") else "mb"
+            x = self._local(
+                down_kind, w[s], 2, self.EXPANDS[s] * 4, self.FEWER_NORM[s],
+                f"stage{s}_down",
+            )(x, train=train)
+            for i in range(d[s]):
+                if kind == "att":
+                    x = EfficientViTBlock(
+                        head_dim=self.head_dim, expand=self.EXPANDS[s],
+                        act=self.act, dtype=self.dtype, name=f"stage{s}_{i}",
+                    )(x, train=train)
+                else:
+                    x = x + self._local(
+                        kind, w[s], 1, self.EXPANDS[s], self.FEWER_NORM[s],
+                        f"stage{s}_{i}",
+                    )(x, train=train)
             feats.append(x)
         return feats  # strides 4, 8, 16, 32
 
@@ -231,5 +383,20 @@ def _make_efficientvit(variant: str):
     return factory
 
 
+def _make_efficientvit_large(variant: str):
+    def factory(dtype: Any = jnp.bfloat16, **kwargs):
+        widths, depths = EFFICIENTVIT_LARGE_SETTINGS[variant]
+        return (
+            EfficientViTLargeBackbone(
+                widths=widths, depths=depths, dtype=dtype, **kwargs
+            ),
+            list(widths[1:]),
+        )
+
+    return factory
+
+
 for _v in EFFICIENTVIT_SETTINGS:
     register_backbone(f"efficientvit_{_v}")(_make_efficientvit(_v))
+for _v in EFFICIENTVIT_LARGE_SETTINGS:
+    register_backbone(f"efficientvit_{_v}")(_make_efficientvit_large(_v))

@@ -21,7 +21,7 @@ from segmentation_factory_tpu.models.layers.common import ConvModule, resize_lik
 from segmentation_factory_tpu.models.modules.position_encoding import (
     sine_position_encoding,
 )
-from segmentation_factory_tpu.ops.msdeform import ms_deform_attn
+from segmentation_factory_tpu.ops.msdeform import ms_deform_attn_fast
 
 
 def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
@@ -86,7 +86,7 @@ class MSDeformAttn(nn.Module):
             reference_points[:, :, None, :, None, :]
             + offsets / wh[None, None, None, :, None, :]
         )
-        out = ms_deform_attn(v, spatial_shapes, locs, weights)
+        out = ms_deform_attn_fast(v, spatial_shapes, locs, weights)
         return nn.Dense(self.dim, dtype=self.dtype, name="output_proj")(
             out.astype(query.dtype)
         )

@@ -83,10 +83,8 @@ def sync_scalar(x, mode: str = "mean"):
         return float(x)
     from jax.experimental import multihost_utils
 
-    import numpy as _np
-
-    gathered = multihost_utils.process_allgather(jnp.asarray(x, jnp.float32))
-    arr = _np.asarray(gathered)
+    gathered = multihost_utils.process_allgather(np.asarray(x, np.float32))
+    arr = np.asarray(gathered)
     if mode == "mean":
         return float(arr.mean())
     if mode == "sum":

@@ -51,7 +51,7 @@ def test_absent_class_nan_skipped():
 
 
 def test_update_confusion_matrix_streaming():
-    hist = jnp.zeros((3, 3), jnp.int32)
+    hist = jnp.zeros((3, 3), jnp.uint32)
     logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 4, 3)), jnp.float32)
     labels = jnp.asarray(np.random.default_rng(1).integers(0, 3, (2, 4, 4)), jnp.int32)
     h1 = update_confusion_matrix(hist, logits, labels)

@@ -107,3 +107,34 @@ def test_grad_matches_numerical():
         idx = (1, 2, 0, 1, 1, 0)
         num = (loss_l(l.at[idx].add(eps)) - loss_l(l.at[idx].add(-eps))) / (2 * eps)
         np.testing.assert_allclose(float(gl[idx]), float(num), rtol=1e-5, atol=1e-10)
+
+
+class TestFastPath:
+    """ms_deform_attn_fast (2x2-patch gather production path) vs the oracle."""
+
+    def test_parity_including_oob(self):
+        from segmentation_factory_tpu.ops.msdeform import ms_deform_attn_fast
+
+        value, locs, w = make_inputs(dtype=np.float32)
+        # add far-out-of-range points to exercise the clamp+mask path
+        locs[0, 0] = -3.0
+        locs[1, -1] = 4.0
+        want = np.asarray(ms_deform_attn(value, SHAPES, locs, w))
+        got = np.asarray(ms_deform_attn_fast(value, SHAPES, locs, w))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_oracle(self):
+        from segmentation_factory_tpu.ops.msdeform import ms_deform_attn_fast
+
+        value, locs, w = make_inputs(seed=3, dtype=np.float32)
+
+        def loss(fn, v, l, wt):
+            return jnp.sum(fn(v, SHAPES, l, wt) ** 2)
+
+        g_fast = jax.grad(lambda v, l, wt: loss(ms_deform_attn_fast, v, l, wt),
+                          argnums=(0, 1, 2))(value, locs, w)
+        g_ref = jax.grad(lambda v, l, wt: loss(ms_deform_attn, v, l, wt),
+                         argnums=(0, 1, 2))(value, locs, w)
+        for gf, gr in zip(g_fast, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       rtol=1e-4, atol=1e-5)

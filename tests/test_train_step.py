@@ -45,7 +45,7 @@ def test_train_step_decreases_loss():
 def test_eval_step_confusion_matrix():
     _, state, batch, _ = tiny_setup(batch=2, img=32)
     estep = jax.jit(make_eval_step())
-    hist = jnp.zeros((5, 5), jnp.int32)
+    hist = jnp.zeros((5, 5), jnp.uint32)
     hist = estep(state, batch, hist)
     assert int(np.asarray(hist).sum()) == 2 * 32 * 32
 

@@ -65,7 +65,7 @@ def main():
     loader = Loader(ds, args.batch_size, args.img_size, train=False,
                     eval_hw=(args.img_size, args.img_size),
                     num_workers=args.workers)
-    hist = jnp.zeros((nc, nc), jnp.int32)
+    hist = jnp.zeros((nc, nc), jnp.uint32)
 
     @jax.jit
     def update(hist, logits, labels):
