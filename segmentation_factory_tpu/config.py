@@ -53,10 +53,25 @@ class OptimConfig:
 
 
 @dataclass
+class EvalConfig:
+    """Eval protocol inside the Trainer (BASELINE.md config #5 needs slide +
+    ms/flip at 1024^2 from train.py; the reference only has whole-image eval
+    in engine.py and TTA in a separate script)."""
+
+    protocol: str = "whole"  # 'whole' | 'slide' | 'ms_flip'
+    size: Optional[int] = None  # eval canvas (None -> img_size)
+    crop: Optional[int] = None  # slide window / ms-flip crop (None -> img_size)
+    stride: Optional[int] = None  # slide stride (None -> 2/3 crop)
+    scales: Tuple[float, ...] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
+    flip: bool = True
+
+
+@dataclass
 class TrainConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
     loss_type: str = "ce"
     use_dice: bool = True  # ref engine.py:10-15 composite
     seed: int = 0
@@ -76,9 +91,10 @@ class TrainConfig:
             model=ModelConfig(**d.get("model", {})),
             data=DataConfig(**{k: tuple(v) if isinstance(v, list) else v for k, v in d.get("data", {}).items()}),
             optim=OptimConfig(**d.get("optim", {})),
+            eval=EvalConfig(**{k: tuple(v) if isinstance(v, list) else v for k, v in d.get("eval", {}).items()}),
             **{
                 k: (tuple(v) if k == "mesh_shape" and v is not None else v)
                 for k, v in d.items()
-                if k not in ("model", "data", "optim")
+                if k not in ("model", "data", "optim", "eval")
             },
         )

@@ -123,6 +123,100 @@ def convert_segformer_head(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def t_convmodule(sd, prefix) -> Tuple[Dict, Dict]:
+    """Reference ConvModule (Sequential: 0=conv no-bias, 1=BN, 2=ReLU) ->
+    our ConvModule (Conv_0 + BatchNorm_0/BatchNorm_0). Returns (params, stats)."""
+    bn_p, bn_s = t_bn(sd, f"{prefix}.1")
+    params = {
+        "Conv_0": t_conv(sd, f"{prefix}.0"),
+        "BatchNorm_0": {"BatchNorm_0": bn_p},
+    }
+    stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
+    return params, stats
+
+
+def convert_convnext(sd: Dict, depths) -> Dict:
+    """Reference ConvNeXt state_dict -> flax params for backbones/convnext.
+
+    Reference layout (models/backbones/convnext.py): downsample_layers.0 =
+    Stem(conv '0', LN '1'); downsample_layers.i = Downsample(LN '0',
+    conv '1'); stages.i.j.{dwconv,norm,pwconv1,pwconv2,gamma}; per-stage
+    output norm{i} (:102-103).
+    """
+    p: Dict = {}
+    p["stem"] = t_conv(sd, "downsample_layers.0.0")
+    p["stem_norm"] = t_ln(sd, "downsample_layers.0.1")
+    for i in range(1, 4):
+        p[f"down_norm{i}"] = t_ln(sd, f"downsample_layers.{i}.0")
+        p[f"down{i}"] = t_conv(sd, f"downsample_layers.{i}.1")
+    for i in range(4):
+        for j in range(depths[i]):
+            r = f"stages.{i}.{j}"
+            dw = np.asarray(sd[f"{r}.dwconv.weight"])  # (ch, 1, 7, 7)
+            blk = {
+                "dwconv": {
+                    "kernel": dw.transpose(2, 3, 1, 0),
+                    "bias": np.asarray(sd[f"{r}.dwconv.bias"]),
+                },
+                "norm": t_ln(sd, f"{r}.norm"),
+                "pwconv1": t_linear(sd, f"{r}.pwconv1"),
+                "pwconv2": t_linear(sd, f"{r}.pwconv2"),
+            }
+            if f"{r}.gamma" in sd:
+                blk["gamma"] = np.asarray(sd[f"{r}.gamma"])
+            p[f"block{i}_{j}"] = blk
+        p[f"out_norm{i}"] = t_ln(sd, f"norm{i}")
+    return p
+
+
+def convert_uperhead(sd: Dict, num_scales: int = 4) -> Tuple[Dict, Dict]:
+    """Reference UPerHead -> (params, batch_stats) for heads/upernet.UPerHead.
+
+    Reference layout (models/heads/upernet.py): ppm.stages.{k}.1 (ConvModule
+    after AdaptiveAvgPool), ppm.bottleneck, fpn_in.{i}, fpn_out.{i},
+    bottleneck, conv_seg (1x1 conv). Our PPM keeps the reference's reversed
+    concat order, so the bottleneck kernel maps 1:1.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    ppm_p: Dict = {}
+    ppm_s: Dict = {}
+    for k in range(num_scales):
+        cp, cs = t_convmodule(sd, f"ppm.stages.{k}.1")
+        ppm_p[f"ConvModule_{k}"] = cp
+        ppm_s[f"ConvModule_{k}"] = cs
+    cp, cs = t_convmodule(sd, "ppm.bottleneck")
+    ppm_p[f"ConvModule_{num_scales}"] = cp
+    ppm_s[f"ConvModule_{num_scales}"] = cs
+    params["ppm"] = ppm_p
+    stats["ppm"] = ppm_s
+    for i in range(3):
+        params[f"lateral{i}"], stats[f"lateral{i}"] = t_convmodule(sd, f"fpn_in.{i}")
+        params[f"fpn{i}"], stats[f"fpn{i}"] = t_convmodule(sd, f"fpn_out.{i}")
+    params["bottleneck"], stats["bottleneck"] = t_convmodule(sd, "bottleneck")
+    w = np.asarray(sd["conv_seg.weight"])  # (classes, in, 1, 1)
+    params["conv_seg"] = {
+        "kernel": w[:, :, 0, 0].T,
+        "bias": np.asarray(sd["conv_seg.bias"]),
+    }
+    return params, stats
+
+
+def convert_convnext_upernet(sd: Dict, depths) -> Dict:
+    """Full reference SegmentationModel(ConvNeXt + UPerHead) ->
+    {'params', 'batch_stats'} for build_model('convnext_*', 'uperhead')."""
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")}
+    hd_sd = {k[len("decode_head."):]: v for k, v in sd.items() if k.startswith("decode_head.")}
+    head_params, head_stats = convert_uperhead(hd_sd)
+    return {
+        "params": {
+            "backbone": convert_convnext(bb_sd, depths),
+            "decode_head": head_params,
+        },
+        "batch_stats": {"decode_head": head_stats},
+    }
+
+
 def convert_segmentation_model(sd: Dict, depths) -> Dict:
     """Full reference SegmentationModel (backbone.* + decode_head.*) ->
     {'params': ..., 'batch_stats': ...} for models.build.SegmentationModel."""

@@ -21,6 +21,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from segmentation_factory_tpu.data import class_names
+
 try:
     from PIL import Image
 except Exception:  # pragma: no cover
@@ -174,8 +176,7 @@ class VOCSegmentation(SegDataset):
 
 
 class ADE20K(SegDataset):
-    # 150 classes; names abbreviated to indices for palette purposes
-    CLASSES = tuple(f"class_{i}" for i in range(150))
+    CLASSES = class_names.ADE20K_CLASSES  # real names (ref ade.py:20-46)
     ignore_index = 255
 
     def __init__(self, root: str, split: str = "training"):
@@ -186,8 +187,7 @@ class ADE20K(SegDataset):
         for img_path in sorted(glob.glob(os.path.join(img_dir, "*.jpg"))):
             base = os.path.splitext(os.path.basename(img_path))[0]
             self.pairs.append((img_path, os.path.join(ann_dir, base + ".png")))
-        rng = np.random.default_rng(0)
-        self.PALETTE = rng.integers(0, 255, (150, 3)).astype(np.uint8)
+        self.PALETTE = class_names.ADE20K_PALETTE
 
     def encode_label(self, lbl: np.ndarray) -> np.ndarray:
         # stored labels are 0=void, 1..150 -> train ids 0..149, void -> 255
@@ -217,7 +217,7 @@ def _coco_label_map() -> np.ndarray:
 
 
 class COCOStuff(SegDataset):
-    CLASSES = tuple(f"class_{i}" for i in range(171))
+    CLASSES = class_names.COCOSTUFF_CLASSES  # real names (ref coco_stuff.py:19-32)
 
     def __init__(self, root: str, split: str = "train2017"):
         super().__init__()
@@ -228,8 +228,7 @@ class COCOStuff(SegDataset):
             base = os.path.splitext(os.path.basename(img_path))[0]
             self.pairs.append((img_path, os.path.join(ann_dir, base + ".png")))
         self._lut = _coco_label_map()
-        rng = np.random.default_rng(1)
-        self.PALETTE = rng.integers(0, 255, (171, 3)).astype(np.uint8)
+        self.PALETTE = class_names.COCOSTUFF_PALETTE
 
     def encode_label(self, lbl: np.ndarray) -> np.ndarray:
         return self._lut[np.clip(lbl, 0, 255)]
@@ -313,6 +312,13 @@ class SynapseCT(SegDataset):
             img_u8 = np.repeat(img_u8[..., None], 3, axis=-1)
             return img_u8, d["label"].astype(np.int32)
         raise IndexError("val split is volumetric; use volumes()")
+
+    def train_augment(self, img, lbl, rng, out_hw):
+        """The reference's Synapse train recipe (synapse.py:14-49):
+        rot90/flip or NEAREST +-20deg rotation, then zoom to out_hw."""
+        from segmentation_factory_tpu.data.transforms import synapse_train_augment
+
+        return synapse_train_augment(img, lbl, rng, out_hw)
 
     def volumes(self):
         """Yield (name, image_vol (D,H,W) f32, label_vol (D,H,W) i32)."""

@@ -76,9 +76,16 @@ class Loader:
         img, lbl = self.ds.load(int(i))
         if self.train:
             rng = np.random.default_rng(sample_seed)
-            img, lbl = random_scale_crop(
-                img, lbl, self.crop, self.scale_range, self.ds.ignore_index, rng
-            )
+            # datasets may define their own train recipe (e.g. Synapse's
+            # rot90/flip/rotate/zoom, ref synapse.py:14-49); default is the
+            # standard random scale+crop
+            aug = getattr(self.ds, "train_augment", None)
+            if aug is not None:
+                img, lbl = aug(img, lbl, rng, (self.crop, self.crop))
+            else:
+                img, lbl = random_scale_crop(
+                    img, lbl, self.crop, self.scale_range, self.ds.ignore_index, rng
+                )
         else:
             h, w = img.shape[:2]
             eh, ew = self.eval_hw

@@ -53,6 +53,72 @@ def resize_pair(img: np.ndarray, lbl: np.ndarray, hw: Tuple[int, int]):
     return img, lbl
 
 
+def random_rotation(
+    img: np.ndarray,
+    lbl: np.ndarray,
+    degrees: Tuple[float, float],
+    rng: np.random.Generator,
+    img_fill: int = 0,
+    lbl_fill: int = 0,
+    expand: bool = False,
+    nearest_img: bool = False,
+):
+    """Paired rotation (ref ExtRandomRotation, extra_transform.py:129-194).
+
+    Image bilinear (or NEAREST with ``nearest_img``, the Synapse order=0
+    convention), label always NEAREST. Fill defaults to 0 exactly like the
+    reference's F.rotate; pass ``lbl_fill=ignore_index`` to keep rotated-in
+    corners out of the loss instead (a documented improvement over the
+    reference, which pollutes class 0).
+    """
+    angle = float(rng.uniform(degrees[0], degrees[1]))
+    im = Image.fromarray(img).rotate(
+        angle,
+        resample=Image.NEAREST if nearest_img else Image.BILINEAR,
+        expand=expand,
+        fillcolor=(img_fill,) * (3 if img.ndim == 3 else 1),
+    )
+    lb = Image.fromarray(lbl.astype(np.int32)).rotate(
+        angle, resample=Image.NEAREST, expand=expand, fillcolor=lbl_fill
+    )
+    return np.asarray(im), np.asarray(lb).astype(np.int32)
+
+
+def synapse_train_augment(
+    img: np.ndarray,
+    lbl: np.ndarray,
+    rng: np.random.Generator,
+    out_hw: Tuple[int, int],
+):
+    """The Synapse CT train recipe (ref datasets/synapse.py:14-49
+    RandomGenerator): p=.5 (rot90 x k + random-axis flip), elif p=.5
+    (NEAREST rotate in [-20, 20)), then zoom to the output size
+    (image bicubic / order-3, label NEAREST / order-0).
+    """
+    if rng.random() > 0.5:
+        k = int(rng.integers(0, 4))
+        img = np.rot90(img, k, axes=(0, 1))
+        lbl = np.rot90(lbl, k, axes=(0, 1))
+        axis = int(rng.integers(0, 2))
+        img = np.flip(img, axis=axis)
+        lbl = np.flip(lbl, axis=axis)
+    elif rng.random() > 0.5:
+        # ndimage.rotate(order=0, reshape=False, cval=0) == NEAREST, no expand
+        img, lbl = random_rotation(
+            np.ascontiguousarray(img), np.ascontiguousarray(lbl),
+            (-20.0, 20.0), rng, nearest_img=True,
+        )
+    h, w = lbl.shape[:2]
+    oh, ow = out_hw
+    if (h, w) != (oh, ow):
+        im = Image.fromarray(np.ascontiguousarray(img)).resize((ow, oh), Image.BICUBIC)
+        lb = Image.fromarray(np.ascontiguousarray(lbl).astype(np.int32)).resize(
+            (ow, oh), Image.NEAREST
+        )
+        img, lbl = np.asarray(im), np.asarray(lb).astype(np.int32)
+    return np.ascontiguousarray(img), np.ascontiguousarray(lbl)
+
+
 def resize_short_side(img: np.ndarray, lbl: np.ndarray, short: int, divisor: int = 32):
     """Scale so the short side == ``short``, then ceil both sides to /divisor
     (inference preprocessing; ref estimate_model.py:85-98)."""
@@ -160,16 +226,35 @@ def augment_batch(
         labels = jnp.where(do[..., 0], labels[:, ::-1, :], labels)
 
     if color_jitter > 0:
+        # torchvision ColorJitter semantics (ref ExtColorJitter :426-517):
+        # brightness/contrast/saturation each blend toward their reference
+        # point and clamp; contrast blends against the scalar mean of the
+        # GRAYSCALE image, saturation against the per-pixel ITU-R 601 luma,
+        # and the op ORDER is randomly shuffled per call.
         j = color_jitter
         br = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - j, maxval=1 + j)
-        img = img * br
         ct = jax.random.uniform(k_c, (b, 1, 1, 1), minval=1 - j, maxval=1 + j)
-        mean_l = jnp.mean(img, axis=(1, 2, 3), keepdims=True)
-        img = (img - mean_l) * ct + mean_l
         st = jax.random.uniform(k_s, (b, 1, 1, 1), minval=1 - j, maxval=1 + j)
-        gray = jnp.mean(img, axis=-1, keepdims=True)
-        img = (img - gray) * st + gray
-        img = jnp.clip(img, 0.0, 255.0)
+        luma_w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+
+        def _bright(x):
+            return jnp.clip(x * br, 0.0, 255.0)
+
+        def _contrast(x):
+            gray_mean = jnp.mean(
+                x @ luma_w, axis=(1, 2), keepdims=True
+            )[..., None]
+            return jnp.clip(x * ct + gray_mean * (1.0 - ct), 0.0, 255.0)
+
+        def _saturation(x):
+            gray = (x @ luma_w)[..., None]
+            return jnp.clip(x * st + gray * (1.0 - st), 0.0, 255.0)
+
+        order = jax.random.permutation(k_order, 3)
+        for step in range(3):
+            img = jax.lax.switch(
+                order[step], [_bright, _contrast, _saturation], img
+            )
 
     return normalize(img), labels
 

@@ -30,7 +30,7 @@ from segmentation_factory_tpu.engine.state import (
 )
 from segmentation_factory_tpu.engine.steps import eval_step as _eval_step
 from segmentation_factory_tpu.engine.steps import train_step as _train_step
-from segmentation_factory_tpu.metrics import compute_metrics
+from segmentation_factory_tpu.metrics import compute_metrics, update_confusion_matrix
 from segmentation_factory_tpu.models import build_model
 from segmentation_factory_tpu.parallel import (
     batch_sharding,
@@ -73,12 +73,13 @@ class Trainer:
             seed=cfg.seed,
             num_workers=d.num_workers,
         )
+        eval_size = cfg.eval.size or d.img_size
         self.val_loader = Loader(
             self.val_ds,
             val_bs,
             d.img_size,
             train=False,
-            eval_hw=(d.img_size, d.img_size),
+            eval_hw=(eval_size, eval_size),
             num_workers=d.num_workers,
         )
 
@@ -153,8 +154,21 @@ class Trainer:
                 ignore_index=ign,
             )
 
+        def plain_forward(state, images):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits = state.apply_fn(variables, images, train=False)
+            return logits[0] if isinstance(logits, (tuple, list)) else logits
+
         self.train_step = jax.jit(fused_train_step, donate_argnums=0)
         self.eval_step = jax.jit(fused_eval_step, donate_argnums=2)
+        # slide / ms+flip eval protocols (cfg.eval.protocol != 'whole')
+        self._forward = jax.jit(plain_forward)
+        self._preproc = jax.jit(preprocess_eval)
+        self._update_hist = jax.jit(
+            functools.partial(update_confusion_matrix, ignore_index=ign)
+        )
         self.rng = jax.random.PRNGKey(cfg.seed + 1)
         self.results_path = os.path.join(cfg.output_dir, "results.jsonl")
 
@@ -242,13 +256,41 @@ class Trainer:
         return {"train_loss": logger.meters["loss"].global_avg}
 
     def evaluate(self) -> dict:
-        nc = self.cfg.model.num_classes
+        """Validation pass. Protocol from cfg.eval: 'whole' (the reference
+        engine.py path), 'slide' (window + overlap-average, for eval canvases
+        larger than the train crop), or 'ms_flip' (multi-scale + hflip TTA,
+        ref estimate_model.py-style — BASELINE config #5 end-to-end)."""
+        cfg = self.cfg
+        nc = cfg.model.num_classes
         hist = jax.device_put(jnp.zeros((nc, nc), jnp.uint32), self.replicated)
         it = prefetch_to_device(iter(self.val_loader), self.batch_sharding)
+        if cfg.eval.protocol == "whole":
+            for batch in it:
+                hist = self.eval_step(self.state, batch, hist)
+            return compute_metrics(np.asarray(hist))
+
+        from segmentation_factory_tpu.infer import (
+            multi_scale_flip_inference,
+            slide_inference,
+        )
+
+        crop = cfg.eval.crop or cfg.data.img_size
+        fwd = lambda x: self._forward(self.state, x)  # noqa: E731
         for batch in it:
-            hist = self.eval_step(self.state, batch, hist)
-        m = compute_metrics(np.asarray(hist))
-        return m
+            x = self._preproc(batch["image"])
+            if cfg.eval.protocol == "slide":
+                logits = slide_inference(
+                    fwd, x, nc, crop, stride=cfg.eval.stride
+                )
+            elif cfg.eval.protocol == "ms_flip":
+                logits = multi_scale_flip_inference(
+                    fwd, x, nc, scales=cfg.eval.scales, flip=cfg.eval.flip,
+                    crop=crop,
+                )
+            else:
+                raise KeyError(f"unknown eval protocol {cfg.eval.protocol!r}")
+            hist = self._update_hist(hist, logits, batch["label"])
+        return compute_metrics(np.asarray(hist))
 
     def fit(self, epochs: Optional[int] = None) -> dict:
         cfg = self.cfg

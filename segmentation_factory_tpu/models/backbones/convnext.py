@@ -52,7 +52,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # exact erf: matches torch nn.GELU
         if self.use_grn:
             y = GRN(dtype=self.dtype, name="grn")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)

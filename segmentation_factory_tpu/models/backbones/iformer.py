@@ -1,43 +1,105 @@
-"""iFormer: mobile hybrid backbone (RepVGG-style depthwise convs + SHMA).
+"""iFormer: mobile hybrid backbone (depthwise-conv blocks + SHMA attention).
 
-Parity with /root/reference/models/backbones/iformer.py: RepVGGDW reparam
-convs (:178-226), single-head modulation attention SHMA (:293-372), conv
-stages -> attention stages with FusedIB downsampling, variants t/s/m/l/h
-(:843-944). The reference drives block construction through timm-style
-spec strings decoded at :514-616; we instantiate the decoded architecture
-directly (conv blocks in stages 1-2, SHMA blocks in stages 3-4 with
-kv_stride 2 in stage 3) — same compute graph, no string machinery.
+Parity with /root/reference/models/backbones/iformer.py: Conv2d_BN
+primitives (:227), ConvBlock (:458), RepCPE (:497), SHMA single-head
+modulation attention (:293-372), SHMABlock window split/reverse (:374-431),
+FFN2d (:432), FusedIB stem (:758-763, EdgeResidual :617), and the variant
+zoo t/s/m/l/l2/h plus the `_faster` latency variants (:842-950).
 
-RepVGGDW reparameterization: training uses dw-kxk + dw-3x3 + identity
-branches; ``reparameterize_iformer`` below folds them into one conv for
-inference (a pure param transform, matching the reference's fuse()).
+The reference drives block construction through timm-style spec strings
+("SHMABlock_r1_hdrr2_act0_nh1_ws16_wsp1_fa1", decoded at :514-616); we build
+the same flat block schedule as Python tuples and slice it by stage depths
+exactly like the reference's cur+j indexing does — including l2_faster,
+whose attention triplets straddle the stage-3/4 boundary (the 12th
+triplet's SHMA+FFN land after the downsample there, and here).
+
+TPU notes: window split/reverse (the `_faster` wsp/wre flags) are pure
+reshapes here — the reference's chunk(16)/cat dance (:404-412) is a latency
+workaround for their compiler and reassembles to a plain window partition.
+The `fa1` fused-attention flag maps to the same einsum (XLA fuses it).
+
+RepVGGDW (:178-226): the reference ships the reparam block but no variant
+spec sets `reparam1`, so stock torch variants train plain dw convs. We keep
+the rep branch ON by default (a free-at-inference accuracy enhancement) —
+``reparameterize_iformer`` folds dw-kxk + dw-3x3 + identity + BN into one
+conv, after which eval-mode forward equals the plain-conv formulation.
+Pass ``use_reparam=False`` for the reference's literal structure.
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from segmentation_factory_tpu.models.layers import ConvModule, DropPath, drop_path_rates
+from segmentation_factory_tpu.models.layers import ConvModule, DropPath
 from segmentation_factory_tpu.registry import register_backbone
 
+
+def _triplet(hdrr: int, ffn_ratio: int, shma_ratio: int = 1,
+             wsp: bool = False, wre: bool = False, ws: int = 0):
+    """RepCPE + SHMABlock + FFN2d (one attention group)."""
+    return [
+        ("cpe", 3),
+        ("shma", shma_ratio, hdrr, ws, wsp, wre),
+        ("ffn", ffn_ratio),
+    ]
+
+
+def _blocks(conv_r, ffn_r, s12, s3_pre, s3_attn, s4_attn, hdrr3=2, hdrr4=4):
+    """Standard variant schedule (ref :842-950): conv stages 1-2, stage 3 =
+    conv prefix + attention triplets + one trailing conv, stage 4 = triplets."""
+    flat = [("conv", 7, conv_r)] * (2 * s12)
+    flat += [("conv", 7, conv_r)] * s3_pre
+    for _ in range(s3_attn):
+        flat += _triplet(hdrr3, ffn_r)
+    flat += [("conv", 7, conv_r)]
+    for _ in range(s4_attn):
+        flat += _triplet(hdrr4, ffn_r)
+    return flat
+
+
+def _blocks_faster(conv_r, ffn_r, s12, s3_pre, mid_plain, tail_plain=0):
+    """`_faster` schedule (ref :878-939): the first stage-3 triplet window-
+    splits (ws16 wsp1), later one window-reverses; all SHMA carry fa1."""
+    flat = [("conv", 7, conv_r)] * (2 * s12)
+    flat += [("conv", 7, conv_r)] * s3_pre
+    flat += _triplet(2, ffn_r, wsp=True, ws=16)
+    for _ in range(mid_plain):
+        flat += _triplet(2, ffn_r)
+    flat += _triplet(2, ffn_r, wre=True, ws=16)
+    for _ in range(tail_plain):
+        flat += _triplet(2, ffn_r)
+    flat += [("conv", 7, conv_r)]
+    for _ in range(2):
+        flat += _triplet(4, ffn_r)
+    return flat
+
+
 IFORMER_SETTINGS = {
-    # name: (depths, dims)  — ref iformer.py:843-944
-    "t": ([2, 2, 16, 6], [32, 64, 128, 256]),
-    "s": ([2, 2, 19, 6], [32, 64, 176, 320]),
-    "m": ([2, 2, 22, 6], [48, 96, 192, 384]),
-    "l": ([2, 2, 33, 6], [48, 96, 256, 384]),
-    "h": ([3, 3, 46, 9], [64, 128, 256, 512]),
+    # name: (depths, dims, flat block schedule)  — ref iformer.py:842-950
+    "t": ([2, 2, 16, 6], [32, 64, 128, 256], _blocks(3, 2, 2, 6, 3, 2)),
+    "s": ([2, 2, 19, 6], [32, 64, 176, 320], _blocks(4, 3, 2, 9, 3, 2)),
+    "m": ([2, 2, 22, 6], [48, 96, 192, 384], _blocks(4, 3, 2, 9, 4, 2)),
+    "l": ([2, 2, 33, 6], [48, 96, 256, 384], _blocks(4, 3, 2, 8, 8, 2)),
+    "l2": ([3, 3, 46, 9], [64, 128, 256, 512], _blocks(4, 3, 3, 12, 11, 3)),
+    "h": ([5, 5, 60, 18], [96, 192, 384, 768],
+          _blocks(4, 4, 5, 14, 15, 6, hdrr3=1, hdrr4=1)),
+    "m_faster": ([2, 2, 22, 6], [48, 96, 192, 384],
+                 _blocks_faster(4, 3, 2, 9, 2)),
+    "l_faster": ([2, 2, 33, 6], [48, 96, 256, 384],
+                 _blocks_faster(4, 3, 2, 8, 5, tail_plain=1)),
+    "l2_faster": ([3, 3, 46, 9], [48, 128, 256, 448],
+                  _blocks_faster(4, 3, 3, 12, 9, tail_plain=1)),
 }
 
 
 class RepDWBlock(nn.Module):
-    """Training-time RepVGGDW: dw 7x7 + dw 3x3 + identity, summed, + BN.
-
-    (ref :178-226; branches fold into one 7x7 dw conv for inference)."""
+    """Training-time RepVGGDW: dw kxk + dw 3x3 + identity, summed, + BN
+    (ref :178-226; branches fold into one kxk dw conv for inference)."""
 
     kernel: int = 7
     dtype: Any = None
@@ -56,36 +118,79 @@ class RepDWBlock(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """RepDW token mixer + FFN (conv stages)."""
+    """Residual(dw conv + 1x1 expand + GELU + 1x1 project) (ref :458-495)."""
 
+    kernel: int = 7
+    ratio: float = 4.0
     drop_path: float = 0.0
-    mlp_ratio: float = 3.0
+    use_reparam: bool = True
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        det = not train
-        dp = DropPath(self.drop_path)
-        x = x + dp(RepDWBlock(dtype=self.dtype, name="mixer")(x, train=train), det)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="norm")(x)
-        y = nn.Conv(int(c * self.mlp_ratio), (1, 1), dtype=self.dtype)(y)
-        y = nn.gelu(y)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype)(y)
-        return x + dp(y, det)
+        if self.use_reparam:
+            y = RepDWBlock(kernel=self.kernel, dtype=self.dtype, name="mixer")(
+                x, train=train
+            )
+        else:
+            y = ConvModule(
+                c, self.kernel, padding=self.kernel // 2, groups=c, norm="bn",
+                act=None, dtype=self.dtype, name="mixer",
+            )(x, train=train)
+        y = ConvModule(int(c * self.ratio), 1, norm="bn", act="gelu",
+                       dtype=self.dtype, name="pw1")(y, train=train)
+        y = ConvModule(c, 1, norm="bn", act=None, dtype=self.dtype, name="pw2")(
+            y, train=train
+        )
+        return x + DropPath(self.drop_path)(y, not train)
+
+
+class RepCPE(nn.Module):
+    """Residual dw conv positional encoding (ref :497-513)."""
+
+    kernel: int = 3
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = ConvModule(c, self.kernel, padding=self.kernel // 2, groups=c,
+                       norm="bn", act=None, dtype=self.dtype, name="cpe")(
+            x, train=train
+        )
+        return x + y
+
+
+class FFN2d(nn.Module):
+    """Residual(1x1 expand + GELU + 1x1) (ref :432-456)."""
+
+    ratio: float = 3.0
+    drop_path: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = ConvModule(int(c * self.ratio), 1, norm="bn", act="gelu",
+                       dtype=self.dtype, name="pw1")(x, train=train)
+        y = ConvModule(c, 1, norm="bn", act=None, dtype=self.dtype, name="pw2")(
+            y, train=train
+        )
+        return x + DropPath(self.drop_path)(y, not train)
 
 
 class SHMA(nn.Module):
     """Single-head modulation attention (ref :293-372).
 
-    q/k projected to dim/hdrr; v+gate to 2*dim*ratio with sigmoid; attention
-    output modulated by the gate, then projected back.
-    """
+    q/k projected to dim/hdrr; v+gate to 2*dim*ratio, both sigmoid-gated
+    (ref :341 applies gate_act before the chunk); softmax attention in fp32,
+    output modulated by the gate, projected back. nh1/act0/fa1 spec flags
+    are no-ops here (single head; act_layer unused in the reference's SHMA;
+    fused attention is the same math)."""
 
-    ratio: float = 2.0
+    ratio: float = 1.0
     head_dim_reduce_ratio: int = 4
-    kv_stride: int = 1
     dtype: Any = None
 
     @nn.compact
@@ -93,26 +198,19 @@ class SHMA(nn.Module):
         b, h, w, c = x.shape
         mid = int(c * self.ratio)
         d_attn = c // self.head_dim_reduce_ratio
-        # v and gate both pass the sigmoid (ref :341: gate_act(v_gate(x)).chunk(2));
-        # gate stays at query resolution, v is pooled to the kv grid below
         vg = ConvModule(2 * mid, 1, norm="bn", act=None, dtype=self.dtype,
                         name="v_gate")(x, train=train)
-        v_raw, gate_raw = jnp.split(vg, 2, axis=-1)
-        gate = nn.sigmoid(gate_raw)
-        v = nn.sigmoid(v_raw)
+        v, gate = jnp.split(nn.sigmoid(vg), 2, axis=-1)
         q = ConvModule(d_attn, 1, norm="bn", act=None, dtype=self.dtype, name="q")(
             x, train=train
         )
-        kv_in = x
-        k = ConvModule(d_attn, 1, strides=self.kv_stride, norm="bn", act=None,
-                       dtype=self.dtype, name="k")(kv_in, train=train)
-        if self.kv_stride > 1:
-            v = nn.avg_pool(v, (self.kv_stride,) * 2, strides=(self.kv_stride,) * 2)
+        k = ConvModule(d_attn, 1, norm="bn", act=None, dtype=self.dtype, name="k")(
+            x, train=train
+        )
         n = h * w
-        m = k.shape[1] * k.shape[2]
         qf = q.reshape(b, n, d_attn).astype(jnp.float32)
-        kf = k.reshape(b, m, d_attn).astype(jnp.float32)
-        vf = v.reshape(b, m, mid).astype(jnp.float32)
+        kf = k.reshape(b, n, d_attn).astype(jnp.float32)
+        vf = v.reshape(b, n, mid).astype(jnp.float32)
         attn = jnp.einsum("bnd,bmd->bnm", qf, kf) * d_attn**-0.5
         attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bnm,bme->bne", attn, vf).reshape(b, h, w, mid)
@@ -123,69 +221,118 @@ class SHMA(nn.Module):
 
 
 class SHMABlock(nn.Module):
+    """Residual SHMA (ref :374-431). The reference's variant zoo passes
+    layer_scale_init_value=0 (iFormer default), so no layer scale."""
+
+    ratio: float = 1.0
+    head_dim_reduce_ratio: int = 4
     drop_path: float = 0.0
-    mlp_ratio: float = 3.0
-    kv_stride: int = 1
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = x.shape[-1]
-        det = not train
-        dp = DropPath(self.drop_path)
-        gamma1 = self.param("ls1", nn.initializers.constant(1e-6), (c,))
-        x = x + dp(
-            gamma1
-            * SHMA(kv_stride=self.kv_stride, dtype=self.dtype, name="attn")(
-                x, train=train
-            ),
-            det,
-        )
-        gamma2 = self.param("ls2", nn.initializers.constant(1e-6), (c,))
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="norm")(x)
-        y = nn.Conv(int(c * self.mlp_ratio), (1, 1), dtype=self.dtype)(y)
-        y = nn.gelu(y)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype)(y)
-        return x + dp(gamma2 * y, det)
+        y = SHMA(ratio=self.ratio, head_dim_reduce_ratio=self.head_dim_reduce_ratio,
+                 dtype=self.dtype, name="attn")(x, train=train)
+        return x + DropPath(self.drop_path)(y, not train)
+
+
+def window_split(x: jax.Array, ws: int):
+    """(B, H, W, C) -> (B*nW, ws, ws, C) with bottom/right zero pad
+    (ref window_partition :31-51 — the chunk(16)/cat in :404-412 reassembles
+    to exactly this)."""
+    b, h, w, c = x.shape
+    pad_b = (-h) % ws
+    pad_r = (-w) % ws
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    hp, wp = h + pad_b, w + pad_r
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    return x, (h, w, hp, wp)
+
+
+def window_merge(x: jax.Array, ws: int, meta) -> jax.Array:
+    h, w, hp, wp = meta
+    c = x.shape[-1]
+    b = x.shape[0] // ((hp // ws) * (wp // ws))
+    x = x.reshape(b, hp // ws, wp // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    return x[:, :h, :w]
 
 
 class iFormer(nn.Module):
     depths: Sequence[int]
     dims: Sequence[int]
+    schedule: Tuple[tuple, ...]
     drop_path_rate: float = 0.0
+    use_reparam: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dims
-        # stem: two 3x3/2 convs -> stride 4 (FusedIB-style)
-        x = ConvModule(d[0] // 2, 3, strides=2, padding=1, norm="bn", act="gelu",
+        # FusedIB stem (ref :758-763): Conv2d_BN k5/2 + GELU, then
+        # EdgeResidual (k5/2 expand x4 + 1x1 project, ref :617-639)
+        x = ConvModule(d[0] // 2, 5, strides=2, padding=2, norm="bn", act="gelu",
                        dtype=self.dtype, name="stem1")(x, train=train)
-        x = ConvModule(d[0], 3, strides=2, padding=1, norm="bn", act="gelu",
-                       dtype=self.dtype, name="stem2")(x, train=train)
-        dprs = drop_path_rates(self.drop_path_rate, self.depths)
+        x = ConvModule(d[0] // 2 * 4, 5, strides=2, padding=2, norm="bn",
+                       act="gelu", dtype=self.dtype, name="stem2_exp")(
+            x, train=train
+        )
+        x = ConvModule(d[0], 1, norm="bn", act=None, dtype=self.dtype,
+                       name="stem2_pwl")(x, train=train)
+
+        total = sum(self.depths)
+        dprs = np.linspace(0.0, self.drop_path_rate, total)
         feats = []
+        cur = 0
+        win = None  # (ws, meta) while the stream is window-partitioned
         for s in range(4):
             if s > 0:
                 x = ConvModule(d[s], 3, strides=2, padding=1, norm="bn", act=None,
                                dtype=self.dtype, name=f"down{s}")(x, train=train)
             for j in range(self.depths[s]):
-                if s < 2:
-                    x = ConvBlock(drop_path=dprs[s][j], dtype=self.dtype,
-                                  name=f"block{s}_{j}")(x, train=train)
+                kind, *args = self.schedule[cur + j]
+                dp = float(dprs[cur + j])
+                name = f"block{s}_{j}"
+                if kind == "conv":
+                    k, r = args
+                    x = ConvBlock(kernel=k, ratio=r, drop_path=dp,
+                                  use_reparam=self.use_reparam,
+                                  dtype=self.dtype, name=name)(x, train=train)
+                elif kind == "cpe":
+                    x = RepCPE(kernel=args[0], dtype=self.dtype, name=name)(
+                        x, train=train
+                    )
+                elif kind == "ffn":
+                    x = FFN2d(ratio=args[0], drop_path=dp, dtype=self.dtype,
+                              name=name)(x, train=train)
+                elif kind == "shma":
+                    ratio, hdrr, ws, wsp, wre = args
+                    if wsp:
+                        x, meta = window_split(x, ws)
+                        win = (ws, meta)
+                    x = SHMABlock(ratio=ratio, head_dim_reduce_ratio=hdrr,
+                                  drop_path=dp, dtype=self.dtype, name=name)(
+                        x, train=train
+                    )
+                    if wre and win is not None:
+                        x = window_merge(x, win[0], win[1])
+                        win = None
                 else:
-                    x = SHMABlock(drop_path=dprs[s][j],
-                                  kv_stride=2 if s == 2 else 1, dtype=self.dtype,
-                                  name=f"block{s}_{j}")(x, train=train)
+                    raise KeyError(kind)
+            cur += self.depths[s]
+            if win is not None:  # never leak a partitioned stream across stages
+                x = window_merge(x, win[0], win[1])
+                win = None
             feats.append(x)
         return feats
 
 
 def reparameterize_iformer(params, batch_stats, eps: float = 1e-5):
-    """Fold every RepDWBlock's (dw7x7 + dw3x3 + identity + BN) into the dw7x7
-    conv for inference (the reference's RepVGGDW.fuse(), iformer.py:178-226,
-    as a pure param transform).
+    """Fold every RepDWBlock's (dw kxk + dw 3x3 + identity + BN) into the
+    big dw conv for inference (the reference's RepVGGDW.fuse(),
+    iformer.py:178-226, as a pure param transform).
 
     After folding: dw_big holds the whole fused op minus the residual input
     (which the module still adds), dw_small is zero, and the BN stats/affine
@@ -194,8 +341,6 @@ def reparameterize_iformer(params, batch_stats, eps: float = 1e-5):
     Returns (new_params, new_batch_stats).
     """
     import copy
-
-    import numpy as np
 
     params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
     batch_stats = copy.deepcopy(jax.tree_util.tree_map(np.asarray, batch_stats))
@@ -206,15 +351,17 @@ def reparameterize_iformer(params, batch_stats, eps: float = 1e-5):
             if not isinstance(sub, dict):
                 continue
             if "dw_big" in sub and "dw_small" in sub and "bn" in sub:
-                kb = sub["dw_big"]["kernel"]  # (7,7,1,C)
+                kb = sub["dw_big"]["kernel"]  # (K,K,1,C)
                 ks = sub["dw_small"]["kernel"]  # (3,3,1,C)
                 bb = sub["dw_big"].get("bias", 0.0)
                 bs_ = sub["dw_small"].get("bias", 0.0)
+                kk = kb.shape[0]
+                mid = kk // 2
                 k = kb.copy()
-                k[2:5, 2:5] += ks  # pad 3x3 into the 7x7 center
+                k[mid - 1 : mid + 2, mid - 1 : mid + 2] += ks
                 c = k.shape[-1]
                 center = np.zeros_like(k)
-                center[3, 3, 0, :] = 1.0
+                center[mid, mid, 0, :] = 1.0
                 stats = s[key]["bn"]["BatchNorm_0"] if "BatchNorm_0" in s.get(key, {}).get("bn", {}) else s[key]["bn"]
                 mean = stats["mean"]
                 var = stats["var"]
@@ -245,10 +392,10 @@ def reparameterize_iformer(params, batch_stats, eps: float = 1e-5):
 
 def _make_iformer(variant: str):
     def factory(dtype: Any = jnp.bfloat16, drop_path_rate: float = 0.0, **kwargs):
-        depths, dims = IFORMER_SETTINGS[variant]
+        depths, dims, schedule = IFORMER_SETTINGS[variant]
         return (
-            iFormer(depths=depths, dims=dims, drop_path_rate=drop_path_rate,
-                    dtype=dtype, **kwargs),
+            iFormer(depths=depths, dims=dims, schedule=tuple(schedule),
+                    drop_path_rate=drop_path_rate, dtype=dtype, **kwargs),
             list(dims),
         )
 

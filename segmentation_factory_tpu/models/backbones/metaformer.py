@@ -24,21 +24,29 @@ from segmentation_factory_tpu.registry import register_backbone
 
 
 class RandomMixing(nn.Module):
-    """Fixed random row-softmax mixing matrix over tokens (ref :260-276)."""
+    """Fixed random row-softmax mixing matrix over tokens (ref :260-276).
 
-    num_tokens: int
+    The token count is taken from the input at init time (the reference
+    hard-codes 224^2-derived counts and shape-errors elsewhere), so the
+    module works at any fixed training resolution; changing resolution
+    after init requires re-initialising (the matrix is a frozen constant).
+    """
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        n = h * w
         m = self.variable(
             "constants",
             "mix",
             lambda: jax.nn.softmax(
-                jax.random.uniform(jax.random.PRNGKey(0), (self.num_tokens, self.num_tokens)),
-                axis=-1,
+                jax.random.uniform(jax.random.PRNGKey(0), (n, n)), axis=-1
             ),
         ).value
+        assert m.shape == (n, n), (
+            f"RandomMixing initialised for {m.shape[0]} tokens, called with "
+            f"{n}; re-init the model at the target resolution"
+        )
         y = x.reshape(b, h * w, c)
         y = jnp.einsum("mn,bnc->bmc", m.astype(x.dtype), y)
         return y.reshape(b, h, w, c)
@@ -130,14 +138,13 @@ class MetaFormer(nn.Module):
     depths: Sequence[int]
     mixers: Sequence[str]  # per-stage: identity|random|pool|sepconv|attention
     drop_path_rate: float = 0.0
-    img_tokens: Sequence[int] = (3136, 784, 196, 49)  # for random mixing @224
     dtype: Any = jnp.bfloat16
 
     def _mixer(self, kind: str, stage: int):
         if kind == "identity":
             return lambda name: (lambda x: x)
         if kind == "random":
-            return partial(RandomMixing, self.img_tokens[stage])
+            return RandomMixing
         if kind == "pool":
             return Pooling
         if kind == "sepconv":

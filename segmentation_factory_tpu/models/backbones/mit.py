@@ -89,8 +89,15 @@ class MixFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
+        from segmentation_factory_tpu.parallel.mesh import shard_channels
+
         c = x.shape[-1]
+        # megatron TP pair: fc1 column-parallel, fc2 row-parallel (see
+        # parallel.mesh.param_shardings); the constraint keeps the wide
+        # hidden activation sharded over 'model' between them, so the
+        # dwconv+gelu run on local shards and XLA psums after fc2
         y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        y = shard_channels(y)
         y = nn.Conv(
             self.hidden,
             (3, 3),
@@ -100,6 +107,7 @@ class MixFFN(nn.Module):
             name="dwconv",
         )(y)
         y = nn.gelu(y, approximate=False)  # exact erf: matches torch nn.GELU
+        y = shard_channels(y)
         return nn.Dense(c, dtype=self.dtype, name="fc2")(y)
 
 

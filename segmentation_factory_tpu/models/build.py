@@ -21,8 +21,15 @@ from segmentation_factory_tpu.registry import get_backbone, get_head
 
 
 def default_embed_dim(backbone_name: str) -> int:
+    """The reference's embed-dim rule, aligned exactly (build_models.py:43-54):
+    MiT B0/B1 -> 256, other MiT -> 768; non-MiT with 'tiny'/'small' in the
+    name -> 128, everything else -> 768. Pass ``embed_dim`` explicitly to
+    override (the round-1 heuristic of 128 for every *_t/b0-ish name silently
+    shrank head capacity vs the reference)."""
     name = backbone_name.lower()
-    if any(t in name for t in ("tiny", "small", "_t", "_s", "b0", "b1", "xs", "035")):
+    if name.startswith("mit_"):
+        return 256 if name in ("mit_b0", "mit_b1") else 768
+    if "tiny" in name or "small" in name:
         return 128
     return 768
 

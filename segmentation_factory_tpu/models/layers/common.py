@@ -156,6 +156,40 @@ def resize_like(x: Array, ref: Array, method: str = "bilinear") -> Array:
     return resize(x, (ref.shape[1], ref.shape[2]), method=method)
 
 
+def _ac_weights(n_out: int, n_in: int, dtype) -> Array:
+    """(n_out, n_in) bilinear interpolation matrix, align_corners=True:
+    out i samples input at i * (n_in-1) / (n_out-1)."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), dtype)
+    pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / max(n_out - 1, 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    t = pos - lo
+    w = jnp.zeros((n_out, n_in), jnp.float32)
+    rows = jnp.arange(n_out)
+    w = w.at[rows, lo].set(1.0 - t)
+    w = w.at[rows, lo + 1].add(t)
+    return w.astype(dtype)
+
+
+def resize_align_corners(x: Array, size: Tuple[int, int]) -> Array:
+    """Bilinear resize with torch ``align_corners=True`` semantics (NHWC).
+
+    jax.image.resize only offers half-pixel centers; the reference's PPM
+    upsample (models/modules/ppm.py:24) uses align_corners=True, so parity
+    needs this. Implemented as two tiny interpolation matmuls — MXU-friendly
+    and exact.
+    """
+    h, w = x.shape[1], x.shape[2]
+    if (h, w) == tuple(size):
+        return x
+    f32 = x.astype(jnp.float32)
+    wh = _ac_weights(size[0], h, jnp.float32)
+    ww = _ac_weights(size[1], w, jnp.float32)
+    out = jnp.einsum("oh,bhwc->bowc", wh, f32)
+    out = jnp.einsum("pw,bowc->bopc", ww, out)
+    return out.astype(x.dtype)
+
+
 def drop_path_rates(total_rate: float, depths: Sequence[int]) -> list:
     """Per-block linearly increasing stochastic-depth rates (timm convention)."""
     total = sum(depths)

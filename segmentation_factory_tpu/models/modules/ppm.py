@@ -14,7 +14,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from segmentation_factory_tpu.models.layers import ConvModule, resize
+from segmentation_factory_tpu.models.layers import ConvModule, resize, resize_align_corners
 
 
 def adaptive_avg_pool(x, out_hw):
@@ -36,14 +36,17 @@ class PPM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1], x.shape[2]
-        outs = [x]
+        pooled = []
         for s in self.scales:
             y = adaptive_avg_pool(x, (s, s))
             y = ConvModule(self.channels, 1, norm="bn", act="relu", dtype=self.dtype)(
                 y, train=train
             )
-            outs.append(resize(y, (h, w)))
-        y = jnp.concatenate(outs, axis=-1)
+            # ref ppm.py:24 upsamples with align_corners=True and concats the
+            # scale outputs REVERSED after the input (:26) — order matters for
+            # weight-conversion parity of the bottleneck conv
+            pooled.append(resize_align_corners(y, (h, w)))
+        y = jnp.concatenate([x] + pooled[::-1], axis=-1)
         return ConvModule(
             self.channels, 3, padding=1, norm="bn", act="relu", dtype=self.dtype
         )(y, train=train)

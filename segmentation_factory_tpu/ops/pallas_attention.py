@@ -1,17 +1,20 @@
-"""Fused spatial-reduction attention (Pallas TPU kernel).
+"""Fused spatial-reduction attention (Pallas TPU kernels, fwd + bwd).
 
 The MiT/SegFormer encoder's hot op (SURVEY §7 step 9b): attention where KV
 was spatially reduced, so M = N / sr^2 is small (256-1024) while N is huge
 (16k at 512^2 stage 1). The naive XLA path materializes the (N, M) fp32
-logits in HBM twice (softmax read/write); this kernel keeps each q-tile's
-logits in VMEM — one HBM read of q/k/v and one write of out.
+logits in HBM twice (softmax read/write); these kernels keep each q-tile's
+logits in VMEM — one HBM read of q/k/v and one write per output.
 
 Single-pass exact softmax (no online rescaling needed: M fits VMEM whole).
-Backward = recompute via the plain XLA formulation (custom VJP) — training
-keeps XLA's fused backward, inference gets the fused forward.
+Backward is a second Pallas kernel (flash-attention-style: recompute p from
+q/k in VMEM, then dq per tile and dk/dv accumulated across the sequential
+TPU grid) — the training path never materializes the (N, M) logits in HBM
+either. Set ``SFT_SRA_XLA_BWD=1`` to fall back to the recompute-through-XLA
+custom VJP.
 
-Parity: tests/test_pallas.py checks vs the einsum reference in interpret
-mode (CPU) and compiled (TPU).
+Parity: tests/test_pallas.py checks fwd+bwd vs the einsum reference in
+interpret mode (CPU) and, when a TPU backend is present, compiled on TPU.
 """
 
 from __future__ import annotations
@@ -90,12 +93,105 @@ def _fwd(q, k, v, scale, tile_q):
     return _forward(q, k, v, scale, tile_q), (q, k, v)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    """Per (bh, q-tile): recompute p in VMEM, emit dq; accumulate dk/dv
+    across the sequential grid (same output block for every q-tile)."""
+    i = pl.program_id(1)
+    q = q_ref[0]  # (TQ, D)
+    k = k_ref[0]  # (M, D)
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)  # (TQ, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (TQ, M)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (TQ, M) f32
+
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TQ, M)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (TQ, M)
+
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += (
+        jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    ).astype(dk_ref.dtype)
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+
+
+def _backward(q, k, v, do, scale, tile_q):
+    bh, n, d = q.shape
+    m = k.shape[1]
+    pad = (-n) % tile_q
+    if pad:
+        # zero-padding do zeroes the padded rows' dk/dv contributions
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
+    np_ = q.shape[1]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(bh, np_ // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, np_, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * np_ * m * d * 5,
+            bytes_accessed=(2 * q.size + 2 * k.size + 2 * v.size)
+            * q.dtype.itemsize,
+            transcendentals=bh * np_ * m,
+        ),
+    )(q, k, v, do)
+    if pad:
+        dq = dq[:, :n]
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _bwd(scale, tile_q, res, g):
     q, k, v = res
-    # recompute-based backward through the reference formulation: XLA emits
-    # the standard fused attention backward (SURVEY §2.7 recompute guidance)
-    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, scale), q, k, v)
-    return vjp(g)
+    if os.environ.get("SFT_SRA_XLA_BWD"):
+        # recompute-based backward through the reference formulation: XLA
+        # emits the standard fused attention backward
+        _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, scale), q, k, v)
+        return vjp(g)
+    return _backward(q, k, v, g, scale, tile_q)
 
 
 _sra_fused.defvjp(_fwd, _bwd)

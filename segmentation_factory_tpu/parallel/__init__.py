@@ -4,6 +4,7 @@ from segmentation_factory_tpu.parallel.mesh import (  # noqa: F401
     initialize_multihost,
     make_mesh,
     param_shardings,
+    shard_channels,
     replicated,
     shard_batch,
 )

@@ -55,24 +55,53 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def param_shardings(params, mesh: Mesh, min_tp_dim: int = 256):
-    """Tensor-parallel sharding rules for a param tree.
+    """Megatron-style tensor-parallel sharding rules for a param tree.
 
-    Dense/conv kernels whose output-feature (last) dim is divisible by the
-    'model' axis size and at least ``min_tp_dim`` wide are sharded over
-    'model'; everything else is replicated. This is weight-sharded TP: XLA
-    all-gathers the sharded weights (or keeps activations sharded) over ICI.
+    Dense/conv kernels whose output-feature (last) dim is wide enough are
+    column-parallel (output sharded over 'model'); kernels whose last dim is
+    narrow but whose input-feature dim is wide are row-parallel (input
+    sharded — XLA inserts the psum after the matmul). Paired with the
+    activation constraints from :func:`shard_channels` this keeps MLP
+    hidden activations sharded between fc1 and fc2 instead of all-gathering
+    every sharded weight each step.
     """
     tp = mesh.shape["model"]
 
     def rule(path, x):
         if tp > 1 and hasattr(x, "ndim") and x.ndim >= 2:
             leaf = str(path[-1]) if path else ""
-            if "kernel" in leaf and x.shape[-1] % tp == 0 and x.shape[-1] >= min_tp_dim:
-                spec = [None] * (x.ndim - 1) + ["model"]
-                return NamedSharding(mesh, P(*spec))
+            if "kernel" in leaf:
+                out_ch, in_ch = x.shape[-1], x.shape[-2]
+                if out_ch % tp == 0 and out_ch >= min_tp_dim:
+                    spec = [None] * (x.ndim - 1) + ["model"]
+                    return NamedSharding(mesh, P(*spec))
+                if in_ch % tp == 0 and in_ch >= min_tp_dim:
+                    spec = [None] * (x.ndim - 2) + ["model", None]
+                    return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_channels(x, axis: str = "model"):
+    """Activation sharding constraint: last (channel) dim over ``axis``.
+
+    No-op unless called under a mesh context (``with mesh:``) whose ``axis``
+    has size > 1 and divides the channel count — so model code can call it
+    unconditionally (single-chip, pure-DP, and test runs are unaffected).
+    """
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        m = _mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover - private API moved
+        return x
+    if m.empty or axis not in m.axis_names or m.shape[axis] <= 1:
+        return x
+    if x.shape[-1] % m.shape[axis]:
+        return x
+    spec = [None] * (x.ndim - 1) + [axis]
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 def sync_scalar(x, mode: str = "mean"):

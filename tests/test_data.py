@@ -119,3 +119,55 @@ def test_build_dataset_dispatch():
     assert len(ds) == 4
     with pytest.raises(KeyError):
         build_dataset("nope", "", "train")
+
+
+def test_random_rotation_label_nearest():
+    from segmentation_factory_tpu.data.transforms import random_rotation
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    lbl = rng.integers(0, 5, (40, 40)).astype(np.int32)
+    rimg, rlbl = random_rotation(img, lbl, (-20, 20), rng, lbl_fill=255)
+    assert rimg.shape == img.shape and rlbl.shape == lbl.shape
+    # NEAREST: rotated labels are a subset of {original classes, fill}
+    assert set(np.unique(rlbl)) <= set(np.unique(lbl)) | {255}
+    # zero-degree rotation is the identity
+    rimg0, rlbl0 = random_rotation(img, lbl, (0, 0), rng)
+    np.testing.assert_array_equal(rlbl0, lbl)
+    np.testing.assert_array_equal(rimg0, img)
+
+
+def test_synapse_train_augment_recipe():
+    from segmentation_factory_tpu.data.transforms import synapse_train_augment
+
+    img = np.zeros((48, 48, 3), np.uint8)
+    img[:24] = 200
+    lbl = np.zeros((48, 48), np.int32)
+    lbl[:24] = 3
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        out_img, out_lbl = synapse_train_augment(img, lbl, rng, (32, 32))
+        assert out_img.shape == (32, 32, 3) and out_lbl.shape == (32, 32)
+        # NEAREST on labels: no interpolated classes
+        assert set(np.unique(out_lbl)) <= {0, 3}
+        # rotations/flips preserve the rough class balance
+        frac = (out_lbl == 3).mean()
+        assert 0.3 < frac < 0.7, (seed, frac)
+
+
+def test_loader_uses_dataset_train_augment():
+    from segmentation_factory_tpu.data.datasets import Synthetic
+
+    ds = Synthetic(num_classes=4, size=24, length=4)
+    calls = []
+
+    def custom(img, lbl, rng, out_hw):
+        calls.append(out_hw)
+        return (np.zeros((*out_hw, 3), np.uint8),
+                np.zeros(out_hw, np.int32))
+
+    ds.train_augment = custom
+    l = Loader(ds, 2, 16, train=True, num_workers=1)
+    b = next(iter(l))
+    assert calls and calls[0] == (16, 16)
+    assert b["image"].shape == (2, 16, 16, 3)

@@ -44,9 +44,9 @@ def test_segformer_model_end_to_end():
     logits, variables = init_and_apply(model, x)
     assert logits.shape == (2, 64, 64, 19)
     assert logits.dtype == jnp.float32
-    # embed_dim rule: mit_b0 -> 128 (ref build_models.py:53)
+    # embed_dim rule: MiT B0 -> 256 (ref build_models.py:43-45)
     fuse = variables["params"]["decode_head"]["linear_fuse"]
-    assert fuse["Conv_0"]["kernel"].shape[-1] == 128
+    assert fuse["Conv_0"]["kernel"].shape[-1] == 256
 
 
 def test_model_train_mode_runs():

@@ -74,3 +74,37 @@ def test_fused_grad_matches_reference_grad():
         g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_grad_ragged_n():
+    # padding path: padded rows must not pollute dk/dv accumulation
+    q, k, v = make_qkv(n=300, m=32)
+    scale = 32**-0.5
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, scale) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    from segmentation_factory_tpu.ops.pallas_attention import _sra_fused
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss_fused(q, k, v):
+            return jnp.sum(_sra_fused(q, k, v, scale, 256) ** 2)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="compiled-TPU parity needs a TPU backend (tests pin CPU; "
+    "run tools/tpu_parity_check.py on hardware — artifact in TPU_PARITY.txt)",
+)
+def test_fused_compiled_tpu_parity():
+    q, k, v = make_qkv()
+    scale = 32**-0.5
+    want = np.asarray(_reference(q, k, v, scale))
+    got = np.asarray(jax.jit(lambda q, k, v: _forward(q, k, v, scale, 256))(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -46,6 +46,15 @@ def parse_args():
     p.add_argument("--print-freq", type=int, default=50)
     p.add_argument("--mesh", default=None, help="dp,tp e.g. 4,2")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--eval-protocol", default="whole",
+                   choices=["whole", "slide", "ms_flip"],
+                   help="in-trainer eval: whole image, sliding window, or "
+                        "multi-scale+flip TTA (BASELINE config #5)")
+    p.add_argument("--eval-size", type=int, default=None,
+                   help="eval canvas (default: img-size)")
+    p.add_argument("--eval-crop", type=int, default=None,
+                   help="slide window / TTA crop (default: img-size)")
+    p.add_argument("--eval-stride", type=int, default=None)
     return p.parse_args()
 
 
@@ -64,6 +73,7 @@ def main():
     args = parse_args()
     from segmentation_factory_tpu.config import (
         DataConfig,
+        EvalConfig,
         ModelConfig,
         OptimConfig,
         TrainConfig,
@@ -102,6 +112,12 @@ def main():
             clip_grad=args.clip_grad,
             clip_mode=args.clip_mode,
             epochs=args.epochs,
+        ),
+        eval=EvalConfig(
+            protocol=args.eval_protocol,
+            size=args.eval_size,
+            crop=args.eval_crop,
+            stride=args.eval_stride,
         ),
         loss_type=args.loss,
         use_dice=not args.no_dice,
