@@ -72,6 +72,14 @@ def random_rotation(
     reference, which pollutes class 0).
     """
     angle = float(rng.uniform(degrees[0], degrees[1]))
+    if not expand and img.ndim == 3 and img.shape[-1] == 3:
+        from segmentation_factory_tpu import native
+
+        if native.available():  # fused C++ path (no PIL, no GIL)
+            return native.rotate_pair(
+                np.ascontiguousarray(img), np.ascontiguousarray(lbl), angle,
+                nearest_img=nearest_img, img_fill=img_fill, lbl_fill=lbl_fill,
+            )
     im = Image.fromarray(img).rotate(
         angle,
         resample=Image.NEAREST if nearest_img else Image.BILINEAR,

@@ -14,8 +14,55 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from segmentation_factory_tpu.models.layers import ConvModule, resize_like
+from segmentation_factory_tpu.models.layers import resize_like
+from segmentation_factory_tpu.models.layers.norm import build_norm
 from segmentation_factory_tpu.registry import register_head
+
+
+class _Conv1x1Kernel(nn.Module):
+    """Bare (1,1,in,out) conv kernel param — path-compatible with the
+    ``Conv_0`` inside ConvModule so converted/old checkpoints load as-is."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_ch, self.out_ch),
+        )
+
+
+class _LevelFuse(nn.Module):
+    """The fuse 1x1 conv computed per level BEFORE upsampling.
+
+    A 1x1 conv commutes with bilinear resize (both linear; one mixes
+    channels, the other pixels), so
+    ``conv1x1(concat_i(resize(y_i)))  ==  sum_i resize(y_i @ W_i)``.
+    Applying each kernel slice at the level's native resolution does the
+    fuse matmul on 1 + 1/4 + 1/16 + 1/64 of the stride-4 pixels instead of
+    4x of them (~3x fewer MXU FLOPs) and never materializes the
+    (B, H/4, W/4, 4E) concat in HBM. Parameter tree is identical to the
+    concat formulation (Conv_0/kernel (1,1,4E,E) + BatchNorm_0)."""
+
+    features: int
+    norm: str = "bn"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, levels, target, train: bool = False):
+        e = self.features
+        kernel = _Conv1x1Kernel(len(levels) * e, e, name="Conv_0")()
+        w = kernel[0, 0].astype(self.dtype or kernel.dtype)  # (L*E, E)
+        acc = None
+        for i, y in enumerate(levels):  # in concat order (top level first)
+            z = y @ w[i * e : (i + 1) * e]
+            z = resize_like(z, target)
+            acc = z if acc is None else acc + z
+        acc = build_norm(self.norm, dtype=self.dtype)(acc, train=train)
+        return nn.relu(acc)
 
 
 class SegFormerHead(nn.Module):
@@ -32,17 +79,12 @@ class SegFormerHead(nn.Module):
         outs = []
         for i, f in enumerate(feats):
             y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"linear_c{i + 1}")(f)
-            y = resize_like(y, feats[0])
             outs.append(y)
-        x = jnp.concatenate(outs[::-1], axis=-1)
-        x = ConvModule(
-            self.embed_dim,
-            kernel_size=1,
-            norm=self.norm,
-            act="relu",
-            dtype=self.dtype,
-            name="linear_fuse",
-        )(x, train=train)
+        # fuse at native per-level resolution (see _LevelFuse), reversed
+        # order matches the reference's concat (top level first)
+        x = _LevelFuse(
+            self.embed_dim, norm=self.norm, dtype=self.dtype, name="linear_fuse"
+        )(outs[::-1], feats[0], train=train)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         # classifier in fp32: tiny matmul, keeps logits accurate for the loss
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="linear_pred")(

@@ -66,6 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
             u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ip, ip,
             ctypes.c_int, ctypes.c_int, u8p, i32p, ctypes.c_int,
         ]
+        lib.sft_rotate_pair.argtypes = [
+            u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -131,5 +135,32 @@ def batch_scale_crop(
         out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         num_threads,
+    )
+    return out_i, out_l
+
+
+def rotate_pair(
+    img: np.ndarray,  # (H, W, 3) uint8
+    lbl: np.ndarray,  # (H, W) int32
+    angle_deg: float,
+    nearest_img: bool = False,
+    img_fill: int = 0,
+    lbl_fill: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Paired center rotation (PIL rotate(expand=False) semantics); label
+    NEAREST, image bilinear unless nearest_img."""
+    lib = _load()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    lbl = np.ascontiguousarray(lbl, np.int32)
+    h, w = lbl.shape
+    out_i = np.empty_like(img)
+    out_l = np.empty_like(lbl)
+    lib.sft_rotate_pair(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h, w, float(angle_deg), int(nearest_img), int(img_fill), int(lbl_fill),
+        out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out_i, out_l

@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <thread>
 #include <vector>
 
@@ -146,6 +147,48 @@ void sft_batch_scale_crop(const uint8_t* imgs, const int32_t* lbls, int n,
     });
   }
   for (auto& th : pool) th.join();
+}
+
+// Paired rotation about the image center, output size == input size
+// (PIL.Image.rotate(expand=False) semantics: inverse mapping, sample at
+// pixel centers). Label always NEAREST; image bilinear unless nearest_img.
+// Out-of-bounds pixels get img_fill / lbl_fill.
+void sft_rotate_pair(const uint8_t* img, const int32_t* lbl, int h, int w,
+                     float angle_deg, int nearest_img, int img_fill,
+                     int lbl_fill, uint8_t* out_img, int32_t* out_lbl) {
+  const float rad = angle_deg * 3.14159265358979323846f / 180.0f;
+  // inverse mapping: rotate output coords by -angle about the center
+  const float ca = std::cos(rad), sa = std::sin(rad);
+  const float cx = w * 0.5f, cy = h * 0.5f;
+  for (int y = 0; y < h; ++y) {
+    const float oy = y + 0.5f - cy;
+    for (int x = 0; x < w; ++x) {
+      const float ox = x + 0.5f - cx;
+      // PIL rotates counter-clockwise for positive angles; the inverse map
+      // from output to input is the clockwise rotation
+      const float ix = ca * ox - sa * oy + cx;  // continuous source coords
+      const float iy = sa * ox + ca * oy + cy;
+      uint8_t* po = out_img + (static_cast<size_t>(y) * w + x) * 3;
+      int32_t* pl = out_lbl + static_cast<size_t>(y) * w + x;
+      if (ix < 0.f || ix >= static_cast<float>(w) || iy < 0.f ||
+          iy >= static_cast<float>(h)) {
+        po[0] = po[1] = po[2] = static_cast<uint8_t>(img_fill);
+        *pl = lbl_fill;
+        continue;
+      }
+      const int nx = std::min(static_cast<int>(ix), w - 1);
+      const int ny = std::min(static_cast<int>(iy), h - 1);
+      *pl = lbl[static_cast<size_t>(ny) * w + nx];
+      if (nearest_img) {
+        const uint8_t* ps = img + (static_cast<size_t>(ny) * w + nx) * 3;
+        po[0] = ps[0];
+        po[1] = ps[1];
+        po[2] = ps[2];
+      } else {
+        bilinear_px(img, h, w, 3, iy - 0.5f, ix - 0.5f, po);
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -69,3 +69,27 @@ def test_random_scale_crop_uses_native(monkeypatch):
     # same RNG stream -> same scale; outputs statistically close
     assert pi.shape == ci.shape
     assert abs(float(ci.mean()) - float(pi.mean())) < 20.0
+
+
+def test_native_rotate_matches_pil():
+    from segmentation_factory_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native engine unavailable")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    lbl = rng.integers(0, 5, (64, 64)).astype(np.int32)
+    for angle in (-17.0, 12.5, 90.0):
+        ni, nl = native.rotate_pair(img, lbl, angle, lbl_fill=255)
+        pi = np.asarray(Image.fromarray(img).rotate(angle, Image.BILINEAR))
+        pl = np.asarray(
+            Image.fromarray(lbl).rotate(angle, Image.NEAREST, fillcolor=255)
+        )
+        # sampling grids differ by sub-pixel conventions at region edges;
+        # require agreement on the overwhelming majority of pixels
+        assert (nl != pl).mean() < 0.05, angle
+        assert np.abs(ni.astype(int) - pi.astype(int)).mean() < 8.0, angle
