@@ -19,6 +19,7 @@ class ModelConfig:
     pretrained_backbone: Optional[str] = None
     finetune: Optional[str] = None  # ckpt dir or reference .pth (converted)
     freeze: bool = False  # train only classifier keys (ref train_gpu.py:252-257)
+    remat: bool = False  # gradient-checkpoint the backbone (1024^2+ batches)
 
 
 @dataclass

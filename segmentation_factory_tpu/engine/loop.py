@@ -98,6 +98,7 @@ class Trainer:
             cfg.model.head,
             num_classes=nc,
             embed_dim=cfg.model.embed_dim,
+            remat=cfg.model.remat,
             dtype=jnp.bfloat16
             if cfg.model.compute_dtype == "bfloat16"
             else jnp.float32,

@@ -6,10 +6,10 @@ capability: semantic labels are decomposed into per-class binary target
 masks (the standard Mask2Former semantic-segmentation recipe), matched to
 the query predictions, and supervised with CE + BCE + dice.
 
-Matching is a jit-friendly sequential greedy assignment over the (Q, C)
-cost matrix (exact Hungarian is data-dependent control flow; with C <= 171
-and Q = 100 the greedy optimum gap is negligible for these costs and every
-step is a masked argmin over a fixed-shape array).
+Matching is the EXACT Hungarian assignment (optax.assignment, a
+jit-compatible fixed-shape LAP) over the (Q, C) cost matrix — same optimum
+as the reference Mask2Former recipe's scipy matcher, but traceable. A
+sequential greedy matcher is kept as :func:`greedy_match` for comparison.
 """
 
 from __future__ import annotations
@@ -91,6 +91,23 @@ def greedy_match(cost: Array, target_valid: Array) -> Array:
     return jnp.where(target_valid, assign, -1)
 
 
+def hungarian_match(cost: Array, target_valid: Array) -> Array:
+    """Exact linear assignment (optax.assignment.hungarian_algorithm).
+
+    Same contract as :func:`greedy_match`: cost (Q, C), target_valid (C,);
+    returns per-target query indices (C,), -1 for absent targets. Absent
+    columns get a uniform large cost, so they cannot distort the optimum of
+    the real columns and their (arbitrary) assignments are masked to -1.
+    """
+    from optax import assignment as _assignment
+
+    q, c = cost.shape
+    masked = jnp.where(target_valid[None, :], cost, 1e6)
+    qi, ci = _assignment.hungarian_algorithm(masked)  # min(q, c) pairs
+    assign = jnp.full((c,), -1, jnp.int32).at[ci].set(qi.astype(jnp.int32))
+    return jnp.where(target_valid, assign, -1)
+
+
 def mask2former_loss(
     outputs: Dict[str, Array],
     labels: Array,
@@ -111,7 +128,7 @@ def mask2former_loss(
         )
         cost = _pair_costs(pred_logits, pred_masks, tm,
                            class_weight, bce_weight, dice_weight)
-        assign = jax.vmap(greedy_match)(cost, present)  # (B, C)
+        assign = jax.vmap(hungarian_match)(cost, present)  # (B, C)
 
         # classification: matched queries -> class id, others -> no-object
         def cls_targets(assign_b):

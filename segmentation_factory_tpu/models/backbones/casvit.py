@@ -91,7 +91,7 @@ class AdditiveBlock(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)], feature_group_count=c,
                     dtype=self.dtype)(y)
-        y = nn.relu(y)
+        y = nn.gelu(y)  # ref passes act_layer=nn.GELU into LocalIntegration
         y = nn.Conv(c, (1, 1), dtype=self.dtype)(y)
         x = x + y
         y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="norm1")(x)

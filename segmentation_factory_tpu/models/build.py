@@ -44,6 +44,11 @@ class SegmentationModel(nn.Module):
     dtype: Any = jnp.bfloat16
     backbone_kwargs: Any = None
     head_kwargs: Any = None
+    # gradient checkpointing over the backbone: trades backbone-activation
+    # HBM for a recompute in the backward pass — the standard TPU lever for
+    # fitting 1024^2+ batches (no reference equivalent; torch.checkpoint
+    # is unused there)
+    remat: bool = False
 
     def setup(self):
         bkw = dict(self.backbone_kwargs or {})
@@ -64,7 +69,13 @@ class SegmentationModel(nn.Module):
 
     def __call__(self, x, train: bool = False):
         h, w = x.shape[1], x.shape[2]
-        feats = self.backbone(x, train=train)
+        if self.remat and train:
+            feats = nn.remat(
+                lambda mdl, xx: mdl(xx, train=True),
+                prevent_cse=False,
+            )(self.backbone, x)
+        else:
+            feats = self.backbone(x, train=train)
         logits = self.decode_head(feats, train=train)
         if isinstance(logits, dict):
             # mask-classification training outputs: stay at head resolution;

@@ -90,3 +90,62 @@ def test_mask2former_head_trains_with_mask_loss():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_cls_targets_no_object_cannot_clobber_query0():
+    """Regression (ADVICE r1): unmatched targets (-1) used to be clipped to
+    query 0, where the duplicate-index scatter could overwrite a real class
+    matched to query 0 with no-object."""
+    import jax
+    import jax.numpy as jnp
+    from segmentation_factory_tpu import losses_mask as LM
+
+    num_classes, qn = 4, 6
+    # class 0 matched to query 0; classes 2, 3 absent (-1)
+    assign = jnp.asarray([[0, 3, -1, -1]], jnp.int32)
+
+    def cls_targets(assign_b):
+        t = jnp.full((qn,), num_classes, jnp.int32)
+        cls_ids = jnp.arange(num_classes)
+        qidx = jnp.where(assign_b >= 0, assign_b, qn)
+        return t.at[qidx].set(cls_ids, mode="drop")
+
+    t = jax.vmap(cls_targets)(assign)[0]
+    assert int(t[0]) == 0  # query 0 keeps its matched class
+    assert int(t[3]) == 1
+    assert all(int(t[i]) == num_classes for i in (1, 2, 4, 5))
+
+
+def test_hungarian_match_beats_or_ties_greedy():
+    import numpy as np
+    from segmentation_factory_tpu.losses_mask import greedy_match, hungarian_match
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        q, c = 12, 7
+        cost = jnp.asarray(rng.normal(size=(q, c)).astype(np.float32))
+        valid = jnp.asarray(rng.random(c) > 0.3)
+        a_h = np.asarray(hungarian_match(cost, valid))
+        a_g = np.asarray(greedy_match(cost, valid))
+        vm = np.asarray(valid)
+
+        def total(a):
+            return sum(float(cost[a[i], i]) for i in range(c) if vm[i])
+
+        # each present target got a unique query
+        used = [a_h[i] for i in range(c) if vm[i]]
+        assert len(used) == len(set(used))
+        assert all(a_h[i] == -1 for i in range(c) if not vm[i])
+        assert total(a_h) <= total(a_g) + 1e-5, trial
+
+
+def test_hungarian_match_under_jit():
+    cost = jnp.asarray([[1.0, 9.0], [9.0, 1.0], [5.0, 5.0]]).T  # (2, 3)? keep (Q=3,C=2)
+    cost = cost.T
+    valid = jnp.asarray([True, True])
+    a = jax.jit(
+        lambda c, v: __import__(
+            "segmentation_factory_tpu.losses_mask", fromlist=["hungarian_match"]
+        ).hungarian_match(c, v)
+    )(cost, valid)
+    assert list(np.asarray(a)) == [0, 1]

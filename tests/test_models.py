@@ -69,3 +69,39 @@ def test_registry_populated():
 
     for v in ("b0", "b1", "b2", "b3", "b4", "b5"):
         assert f"mit_{v}" in BACKBONES
+
+
+def test_remat_backbone_matches_plain():
+    """remat=True must be numerically identical (activation recompute only)."""
+    import numpy as np
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)), jnp.float32)
+    lbl = jnp.asarray(np.random.default_rng(1).integers(0, 5, (1, 32, 32)), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "droppath": jax.random.PRNGKey(2)}
+
+    def loss_and_grad(model):
+        v = model.init(rngs, x, train=False)
+
+        @jax.jit
+        def lg(p):
+            def loss_fn(p):
+                out, _ = model.apply(
+                    {**v, "params": p}, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(3),
+                          "droppath": jax.random.PRNGKey(4)},
+                    mutable=["batch_stats"],
+                )
+                oh = jax.nn.one_hot(lbl, 5)
+                return -jnp.mean(jnp.sum(jax.nn.log_softmax(out) * oh, -1))
+            return jax.value_and_grad(loss_fn)(p)
+
+        return lg(v["params"])
+
+    l0, g0 = loss_and_grad(build_model("mit_b0", "segformerhead", num_classes=5,
+                                       dtype=jnp.float32))
+    l1, g1 = loss_and_grad(build_model("mit_b0", "segformerhead", num_classes=5,
+                                       dtype=jnp.float32, remat=True))
+    assert abs(float(l0) - float(l1)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

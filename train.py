@@ -55,6 +55,9 @@ def parse_args():
     p.add_argument("--eval-crop", type=int, default=None,
                    help="slide window / TTA crop (default: img-size)")
     p.add_argument("--eval-stride", type=int, default=None)
+    p.add_argument("--remat", action="store_true",
+                   help="gradient-checkpoint the backbone (fit larger "
+                        "batches at 1024^2+)")
     return p.parse_args()
 
 
@@ -92,6 +95,7 @@ def main():
             embed_dim=args.embed_dim,
             finetune=args.finetune,
             freeze=args.freeze_layers,
+            remat=args.remat,
         ),
         data=DataConfig(
             dataset=args.dataset,
