@@ -217,6 +217,110 @@ def convert_convnext_upernet(sd: Dict, depths) -> Dict:
     }
 
 
+def t_convlayer(sd, prefix) -> Tuple[Dict, Dict]:
+    """Reference ConvLayer (ops.py:64: .conv + optional .norm BN) ->
+    our ConvModule. Returns (params, stats) — stats empty when no norm."""
+    p: Dict = {"Conv_0": t_conv(sd, f"{prefix}.conv")}
+    stats: Dict = {}
+    if f"{prefix}.norm.weight" in sd:
+        bn_p, bn_s = t_bn(sd, f"{prefix}.norm")
+        p["BatchNorm_0"] = {"BatchNorm_0": bn_p}
+        stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
+    return p, stats
+
+
+def _evit_merge(dst_p, dst_s, name, sub):
+    p, s = sub
+    dst_p[name] = p
+    if s:
+        dst_s[name] = s
+
+
+def _evit_dsconv(sd, prefix) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    _evit_merge(p, s, "depth_conv", t_convlayer(sd, f"{prefix}.depth_conv"))
+    _evit_merge(p, s, "point_conv", t_convlayer(sd, f"{prefix}.point_conv"))
+    return p, s
+
+
+def _evit_mbconv(sd, prefix) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    _evit_merge(p, s, "inverted_conv", t_convlayer(sd, f"{prefix}.inverted_conv"))
+    _evit_merge(p, s, "depth_conv", t_convlayer(sd, f"{prefix}.depth_conv"))
+    _evit_merge(p, s, "point_conv", t_convlayer(sd, f"{prefix}.point_conv"))
+    return p, s
+
+
+def _litemla_perm(total_dim: int, head_dim: int) -> "np.ndarray":
+    """Channel permutation ref->ours for the qkv/aggreg convs.
+
+    Reference qkv channels are per-head [q(dim), k(dim), v(dim)] blocks
+    (ops.py:430-441 reshape); ours are [q-all-heads, k-all, v-all]."""
+    heads = total_dim // head_dim
+    perm = []
+    for t in range(3):
+        for h in range(heads):
+            base = h * 3 * head_dim + t * head_dim
+            perm.extend(range(base, base + head_dim))
+    return np.asarray(perm)
+
+
+def _evit_litemla(sd, prefix, head_dim: int) -> Tuple[Dict, Dict]:
+    qkv_w = np.asarray(sd[f"{prefix}.qkv.conv.weight"])  # (3T, C, 1, 1)
+    total_dim = qkv_w.shape[0] // 3
+    perm = _litemla_perm(total_dim, head_dim)
+    p: Dict = {"qkv": {"kernel": qkv_w.transpose(2, 3, 1, 0)[..., perm]}}
+    s: Dict = {}
+    # aggreg.0 = Sequential(dw 5x5 grouped, pw 1x1 grouped): permute out
+    # channels by the same block permutation (inputs are permuted upstream)
+    dw = np.asarray(sd[f"{prefix}.aggreg.0.0.weight"])  # (3T, 1, 5, 5)
+    p["aggreg5_dw"] = {"kernel": dw.transpose(2, 3, 1, 0)[..., perm]}
+    pw = np.asarray(sd[f"{prefix}.aggreg.0.1.weight"])  # (3T, dim, 1, 1)
+    p["aggreg5_pw"] = {"kernel": pw.transpose(2, 3, 1, 0)[..., perm]}
+    _evit_merge(p, s, "proj", t_convlayer(sd, f"{prefix}.proj"))
+    return p, s
+
+
+def _evit_block(sd, prefix, head_dim: int) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    _evit_merge(p, s, "context",
+                _evit_litemla(sd, f"{prefix}.context_module.main", head_dim))
+    _evit_merge(p, s, "local", _evit_mbconv(sd, f"{prefix}.local_module.main"))
+    return p, s
+
+
+def convert_efficientvit_b(sd: Dict, depths, head_dim: int = 16) -> Dict:
+    """Reference EfficientViTBackbone (b-series, efficientViT.py:35-158) ->
+    {'params', 'batch_stats'} for backbones/efficientvit.EfficientViTBackbone.
+
+    Layout: input_stem.op_list.0 ConvLayer + residual DSConvs; stages.0/1 =
+    residual MBConvs (first strided, no shortcut); stages.2/3 = fewer-norm
+    MBConv downsample + EfficientViTBlocks.
+    """
+    p: Dict = {}
+    s: Dict = {}
+    _evit_merge(p, s, "stem_conv", t_convlayer(sd, "input_stem.op_list.0"))
+    for i in range(depths[0]):
+        _evit_merge(p, s, f"stem_{i}",
+                    _evit_dsconv(sd, f"input_stem.op_list.{i + 1}.main"))
+    for st in (1, 2):  # torch stages.0 / stages.1
+        for j in range(depths[st]):
+            _evit_merge(
+                p, s, f"stage{st}_{j}",
+                _evit_mbconv(sd, f"stages.{st - 1}.op_list.{j}.main"),
+            )
+    for st in (3, 4):  # torch stages.2 / stages.3
+        base = f"stages.{st - 1}.op_list"
+        _evit_merge(p, s, f"stage{st}_down", _evit_mbconv(sd, f"{base}.0.main"))
+        for j in range(depths[st]):
+            _evit_merge(p, s, f"stage{st}_{j}",
+                        _evit_block(sd, f"{base}.{j + 1}", head_dim))
+    return {"params": p, "batch_stats": s}
+
+
 def convert_segmentation_model(sd: Dict, depths) -> Dict:
     """Full reference SegmentationModel (backbone.* + decode_head.*) ->
     {'params': ..., 'batch_stats': ...} for models.build.SegmentationModel."""

@@ -27,11 +27,12 @@ from segmentation_factory_tpu.models.layers import ConvModule
 from segmentation_factory_tpu.registry import register_backbone
 
 EFFICIENTVIT_SETTINGS = {
-    # name: (widths, depths)  — ref efficientViT.py:161-199
-    "b0": ([8, 16, 32, 64, 128], [1, 2, 2, 2, 2]),
-    "b1": ([16, 32, 64, 128, 256], [1, 2, 3, 3, 4]),
-    "b2": ([24, 48, 96, 192, 384], [1, 3, 4, 4, 6]),
-    "b3": ([32, 64, 128, 256, 512], [1, 4, 6, 6, 9]),
+    # name: (widths, depths, attention head_dim)  — ref efficientViT.py:161-199
+    # (b0/b1 pass dim=16, b2/b3 dim=32)
+    "b0": ([8, 16, 32, 64, 128], [1, 2, 2, 2, 2], 16),
+    "b1": ([16, 32, 64, 128, 256], [1, 2, 3, 3, 4], 16),
+    "b2": ([24, 48, 96, 192, 384], [1, 3, 4, 4, 6], 32),
+    "b3": ([32, 64, 128, 256, 512], [1, 4, 6, 6, 9], 32),
 }
 
 EFFICIENTVIT_LARGE_SETTINGS = {
@@ -374,9 +375,10 @@ class EfficientViTLargeBackbone(nn.Module):
 
 def _make_efficientvit(variant: str):
     def factory(dtype: Any = jnp.bfloat16, **kwargs):
-        widths, depths = EFFICIENTVIT_SETTINGS[variant]
+        widths, depths, head_dim = EFFICIENTVIT_SETTINGS[variant]
         return (
-            EfficientViTBackbone(widths=widths, depths=depths, dtype=dtype, **kwargs),
+            EfficientViTBackbone(widths=widths, depths=depths,
+                                 head_dim=head_dim, dtype=dtype, **kwargs),
             list(widths[1:]),
         )
 
