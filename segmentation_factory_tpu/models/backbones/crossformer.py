@@ -26,19 +26,24 @@ NEG_INF = -1e9
 
 
 class DynamicPosBias(nn.Module):
-    """3-layer MLP: relative (dy, dx) -> per-head bias (ref :36-80)."""
+    """3-layer MLP: relative (dy, dx) -> per-head bias (ref :36-80).
 
-    hidden: int
+    The reference constructs DynamicPosBias(attn_dim // 4) and then uses
+    pos_dim = dim // 4 of THAT (:47), so the MLP width is attn_dim // 16.
+    """
+
+    dim: int
     num_heads: int
     dtype: Any = None
 
     @nn.compact
     def __call__(self, biases):  # ((2G-1)^2, 2)
-        x = nn.Dense(self.hidden, dtype=self.dtype)(biases)
+        hidden = max(self.dim // 4, 4)
+        x = nn.Dense(hidden, dtype=self.dtype)(biases)
         x = nn.relu(nn.LayerNorm(dtype=self.dtype)(x))
-        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.Dense(hidden, dtype=self.dtype)(x)
         x = nn.relu(nn.LayerNorm(dtype=self.dtype)(x))
-        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.Dense(hidden, dtype=self.dtype)(x)
         x = nn.relu(nn.LayerNorm(dtype=self.dtype)(x))
         return nn.Dense(self.num_heads, dtype=self.dtype)(x)
 
@@ -77,7 +82,7 @@ class GroupAttention(nn.Module):
         by, bx = np.meshgrid(rng, rng, indexing="ij")
         biases = jnp.asarray(np.stack([by, bx], -1).reshape(-1, 2))
         pos = DynamicPosBias(self.dim // 4, self.num_heads, dtype=jnp.float32,
-                             name="pos")(biases)  # ((2G-1)^2, H)
+                             name="pos")(biases)  # ((2G-1)^2, H); MLP dim//16
         idx = jnp.asarray(_relative_index(g).reshape(-1))
         bias = pos[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
         attn = attn.astype(jnp.float32) + bias[None]
@@ -166,15 +171,22 @@ class CrossFormerBlock(nn.Module):
 
 class MultiKernelEmbed(nn.Module):
     """Cross-scale embedding: parallel convs (stride = smallest kernel),
-    channel-split concat (ref PatchEmbed :532-596 / PatchMerging :380-438)."""
+    channel-split concat (ref PatchEmbed :532-596 / PatchMerging :380-438).
+
+    The stem (PatchEmbed) norms AFTER the convs; merges (PatchMerging) norm
+    the INPUT and have no output norm (ref :389-427) — pre_norm selects.
+    """
 
     dim: int
     kernels: Sequence[int]
     stride: int
+    pre_norm: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        if self.pre_norm:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         outs = []
         n = len(self.kernels)
         for i, ks in enumerate(self.kernels):
@@ -187,7 +199,7 @@ class MultiKernelEmbed(nn.Module):
                         name=f"proj{i}")(x)
             )
         y = jnp.concatenate(outs, axis=-1)
-        return nn.LayerNorm(dtype=self.dtype)(y)
+        return y if self.pre_norm else nn.LayerNorm(dtype=self.dtype)(y)
 
 
 def linear_group_schedule(depths, base_resolution=56, min_size=4) -> List[List[int]]:
@@ -214,6 +226,11 @@ class CrossFormer(nn.Module):
     intervals: Sequence[int]
     drop_path_rate: float = 0.1
     use_cpe: bool = False
+    # the vendored reference defaults to SINGLE-kernel embeddings
+    # (patch_size=[4], merge_size=[[2]]*3, crossformer.py:626-632); the
+    # paper's cross-scale embedding is available via cel=True in the factory
+    stem_kernels: Sequence[int] = (4,)
+    merge_kernels: Sequence[int] = (2,)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -224,11 +241,12 @@ class CrossFormer(nn.Module):
         dim = self.embed_dim
         for s in range(4):
             if s == 0:
-                x = MultiKernelEmbed(dim, (4, 8, 16, 32), 4, dtype=self.dtype,
-                                     name="patch_embed")(x)
+                x = MultiKernelEmbed(dim, tuple(self.stem_kernels), 4,
+                                     dtype=self.dtype, name="patch_embed")(x)
             else:
                 dim = dim * 2
-                x = MultiKernelEmbed(dim, (2, 4), 2, dtype=self.dtype,
+                x = MultiKernelEmbed(dim, tuple(self.merge_kernels), 2,
+                                     pre_norm=True, dtype=self.dtype,
                                      name=f"merge{s}")(x)
             gs = self.group_sizes[s]
             for j in range(self.depths[s]):
@@ -244,7 +262,9 @@ class CrossFormer(nn.Module):
                     dtype=self.dtype,
                     name=f"block{s}_{j}",
                 )(x, deterministic=det)
-            feats.append(nn.LayerNorm(dtype=self.dtype, name=f"out_norm{s}")(x))
+            # ref Stage.forward returns the raw block output as the stage
+            # feature (no out-norm, crossformer.py:503-515)
+            feats.append(x)
         return feats
 
 
@@ -268,10 +288,13 @@ def _make_crossformer(variant: str, pp: bool):
     settings = CROSSFORMERPP_SETTINGS if pp else CROSSFORMER_SETTINGS
 
     def factory(dtype: Any = jnp.bfloat16, drop_path_rate: float = 0.1,
-                group_type: str = "constant", **kwargs):
+                group_type: str = "constant", cel: bool = False, **kwargs):
         dim, depths, heads, groups, intervals = settings[variant]
         if group_type == "linear":
             groups = linear_group_schedule(depths)
+        if cel:  # the paper's cross-scale embedding (not the vendored default)
+            kwargs.setdefault("stem_kernels", (4, 8, 16, 32))
+            kwargs.setdefault("merge_kernels", (2, 4))
         return (
             CrossFormer(
                 embed_dim=dim, depths=depths, num_heads=heads, group_sizes=groups,

@@ -159,12 +159,19 @@ class MetaFormer(nn.Module):
         dprs = drop_path_rates(self.drop_path_rate, self.depths)
         feats = []
         for s in range(4):
+            # ref DOWNSAMPLE_LAYERS_FOUR_STAGES (metaformer.py:522-529):
+            # stem = conv7/4 + POST-norm; later = PRE-norm + conv3/2
+            # (scale-only LayerNormGeneral, bias=False)
             if s == 0:
                 x = nn.Conv(
                     self.dims[0], (7, 7), strides=(4, 4), padding=[(2, 2), (2, 2)],
                     dtype=self.dtype, name="stem",
                 )(x)
+                x = nn.LayerNorm(use_bias=False, dtype=self.dtype,
+                                 name="stem_norm")(x)
             else:
+                x = nn.LayerNorm(use_bias=False, dtype=self.dtype,
+                                 name=f"down_norm{s}")(x)
                 x = nn.Conv(
                     self.dims[s], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     dtype=self.dtype, name=f"down{s}",
@@ -176,7 +183,9 @@ class MetaFormer(nn.Module):
                     dtype=self.dtype,
                     name=f"block{s}_{j}",
                 )(x, deterministic=det)
-            feats.append(nn.LayerNorm(dtype=self.dtype, name=f"out_norm{s}")(x))
+            # stage features are the raw block outputs (the reference has no
+            # per-stage output norms; only the classifier-side final norm)
+            feats.append(x)
         return feats
 
 

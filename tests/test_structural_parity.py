@@ -1,0 +1,135 @@
+"""Cross-framework STRUCTURAL parity sweep: for each backbone family, the
+multiset of learnable weight shapes in our flax rebuild must equal the live
+torch reference's (classifier heads excluded). Catches wrong block schedules,
+expand ratios, missing norms/CPEs, stem mismatches — everything short of
+actual value parity (covered for MiT/ConvNeXt+UPerHead/EfficientViT-B1 by
+the converter tests).
+
+timm is absent; its init/registry symbols are stubbed functionally
+(DropPath == identity in eval, trunc_normal_ init-only, register_model
+pass-through). MobileNetV4 is excluded: the reference vendors timm's whole
+builder (create_conv2d/get_norm_act_layer), which cannot be stubbed without
+reimplementing timm.
+"""
+
+import collections
+import importlib.util
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation_factory_tpu.registry import get_backbone
+
+
+@pytest.fixture(scope="module", autouse=True)
+def timm_stubs():
+    import torch.nn as tnn
+
+    class _DropPath(tnn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tml = types.ModuleType("timm.models.layers")
+    tml.DropPath = _DropPath
+    tml.trunc_normal_ = lambda *a, **k: None
+    tml.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+    tmr = types.ModuleType("timm.models.registry")
+    tmr.register_model = lambda fn: fn
+    tmv = types.ModuleType("timm.models.vision_transformer")
+    tmv.trunc_normal_ = lambda *a, **k: None
+    tm = types.ModuleType("timm.models")
+    tm.layers, tm.registry, tm.vision_transformer = tml, tmr, tmv
+    tm.register_model = lambda fn: fn
+    tdata = types.ModuleType("timm.data")
+    tdata.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    tdata.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    tdata.IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+    tdata.IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+    timm = types.ModuleType("timm")
+    timm.models = tm
+    timm.data = tdata
+    sys.modules.update({
+        "timm": timm, "timm.models": tm, "timm.models.layers": tml,
+        "timm.models.registry": tmr, "timm.models.vision_transformer": tmv,
+        "timm.data": tdata,
+    })
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    yield
+
+
+def _load_ref(fname):
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{fname}", f"/root/reference/models/backbones/{fname}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _torch_inventory(model, exclude=()):
+    inv = collections.Counter()
+    for name, p in model.state_dict().items():
+        if any(name.startswith(e) for e in exclude):
+            continue
+        if name.endswith("weight") and p.ndim >= 1:
+            inv[tuple(sorted(d for d in p.shape if d != 1)) or (1,)] += 1
+    return inv
+
+
+def _flax_inventory(params):
+    inv = collections.Counter()
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key = jax.tree_util.keystr(path)
+        if key.endswith("['kernel']") or key.endswith("['scale']"):
+            inv[tuple(sorted(d for d in leaf.shape if d != 1)) or (1,)] += 1
+    return inv
+
+
+CASES = [
+    # (our registry name, ref file, ref ctor, ctor kwargs, torch excludes,
+    #  our backbone kwargs)
+    ("crossformer_tiny", "crossformer", "crossformer_tiny", {},
+     ("head", "norm."), {}),
+    ("convformer_s18", "metaformer", "convformer_s18", {},
+     ("head", "norm."), {}),
+    ("caformer_s18", "metaformer", "caformer_s18", {},
+     ("head", "norm."), {}),
+    ("rcvit_xs", "casvit", "rcvit_xs", {},
+     ("head", "norm", "dist_head"), {}),
+    ("mobilenetv2", "mobilenetv2", "MobileNetV2", {},
+     ("classifier", "head"), {}),
+    ("convnextv2_atto", "convnextv2", "convnextv2_atto", {},
+     ("head", "norm."), {}),
+]
+
+
+@pytest.mark.parametrize(
+    "ours,ref_file,ref_ctor,ckw,excl,okw", CASES,
+    ids=[c[0] for c in CASES],
+)
+def test_structural_parity(ours, ref_file, ref_ctor, ckw, excl, okw):
+    import torch
+
+    mod = _load_ref(ref_file)
+    torch.manual_seed(0)
+    tb = getattr(mod, ref_ctor)(**ckw)
+    tb = tb.eval() if hasattr(tb, "eval") else tb
+    inv_t = _torch_inventory(tb, exclude=excl)
+
+    jb, _ = get_backbone(ours, dtype=jnp.float32, **okw)
+    variables = jb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        train=False)
+    inv_j = _flax_inventory(variables["params"])
+
+    missing = inv_t - inv_j
+    extra = inv_j - inv_t
+    assert not missing and not extra, (
+        f"{ours}: missing from ours: {dict(missing)}; extra: {dict(extra)}"
+    )
