@@ -105,6 +105,11 @@ CASES = [
      ("head", "norm", "dist_head"), {}),
     ("mobilenetv2", "mobilenetv2", "MobileNetV2", {},
      ("classifier", "head"), {}),
+    # mobilenetv3 deliberately NOT compared: the reference's "MobileNetV3"
+    # (mobilenetv3.py:87-133) is a verbatim V2 graph — same inverted-residual
+    # table, ReLU6, and a SqueezeExcitation class that is never instantiated.
+    # Ours implements the actual V3 (SE + hardswish), a documented
+    # improvement (PARITY.md).
     ("convnextv2_atto", "convnextv2", "convnextv2_atto", {},
      ("head", "norm."), {}),
 ]
