@@ -144,18 +144,25 @@ def tversky_dice_loss(
     delta: float = 0.5,
     smooth: float = 1e-6,
 ) -> Array:
-    """Tversky-delta dice (ref losses.py:69-95 ``Dice``): asymmetric FP/FN weights."""
+    """Tversky-delta dice (ref losses.py:69-95 ``Dice``): asymmetric FP/FN
+    weights, aggregated PER IMAGE (ref sums tp/fn/fp over dims (2, 3) per
+    sample, averages 1-score over classes, then means over the batch)."""
+    b = logits.shape[0]
     num_classes = logits.shape[-1]
-    l2, l1 = _flatten(logits, labels)
-    probs = jax.nn.softmax(l2, axis=-1)
-    target, valid = _one_hot_ignore(l1, num_classes, ignore_index)
-    vm = valid[:, None].astype(jnp.float32)
+    probs = jax.nn.softmax(
+        logits.astype(jnp.float32).reshape(b, -1, num_classes), axis=-1
+    )  # (B, N, C)
+    target, valid = _one_hot_ignore(
+        labels.reshape(b, -1).reshape(-1), num_classes, ignore_index
+    )
+    target = target.reshape(b, -1, num_classes)
+    vm = valid.reshape(b, -1, 1).astype(jnp.float32)
     probs = probs * vm
-    tp = jnp.sum(probs * target, axis=0)
-    fn = jnp.sum(target * (1.0 - probs), axis=0)
-    fp = jnp.sum((1.0 - target) * vm * probs, axis=0)
+    tp = jnp.sum(probs * target, axis=1)  # (B, C)
+    fn = jnp.sum(target * (1.0 - probs), axis=1)
+    fp = jnp.sum((1.0 - target) * vm * probs, axis=1)
     score = (tp + smooth) / (tp + delta * fn + (1.0 - delta) * fp + smooth)
-    return 1.0 - jnp.mean(score)
+    return jnp.mean(1.0 - score)
 
 
 def dice_bce_loss(
