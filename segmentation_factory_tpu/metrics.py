@@ -140,6 +140,37 @@ def thresholded_f1(
     return {"max_f": jnp.max(f), "adaptive_f": f[idx], "mean_f": jnp.mean(f)}
 
 
+def panoptic_quality_masks(
+    gt_masks, pred_masks, iou_threshold: float = 0.5
+) -> Dict[str, float]:
+    """Instance-mask PQ/SQ/RQ (ref util/metrics.py:51-106 update_pq +
+    compute_pq): greedy best-IoU matching per GT mask, each prediction used
+    at most once; SQ = mean matched IoU, RQ = TP/(TP+.5FP+.5FN)."""
+    used_preds: set = set()
+    matches = []
+    for g in gt_masks:
+        g = np.asarray(g, bool)
+        best_iou, best_idx = 0.0, -1
+        for pi, p in enumerate(pred_masks):
+            if pi in used_preds:
+                continue
+            p = np.asarray(p, bool)
+            union = np.logical_or(g, p).sum()
+            iou = float(np.logical_and(g, p).sum() / union) if union else 0.0
+            if iou > best_iou:
+                best_iou, best_idx = iou, pi
+        if best_iou >= iou_threshold:
+            matches.append(best_iou)
+            used_preds.add(best_idx)
+    tp = len(matches)
+    fp = len(pred_masks) - tp
+    fn = len(gt_masks) - tp
+    sq = sum(matches) / tp if tp else 0.0
+    denom = tp + 0.5 * fp + 0.5 * fn
+    rq = tp / denom if denom else 0.0
+    return {"PQ": sq * rq * 100.0, "SQ": sq * 100.0, "RQ": rq * 100.0}
+
+
 def panoptic_quality(hist) -> Dict[str, float]:
     """PQ/SQ/RQ via greedy IoU>0.5 matching on the semantic confusion matrix.
 
