@@ -55,6 +55,9 @@ def parse_args():
     p.add_argument("--eval-crop", type=int, default=None,
                    help="slide window / TTA crop (default: img-size)")
     p.add_argument("--eval-stride", type=int, default=None)
+    p.add_argument("--config", default=None,
+                   help="TrainConfig JSON (e.g. configs/*.json); when set, "
+                        "all other flags are ignored")
     p.add_argument("--remat", action="store_true",
                    help="gradient-checkpoint the backbone (fit larger "
                         "batches at 1024^2+)")
@@ -85,6 +88,15 @@ def main():
     from segmentation_factory_tpu.parallel import initialize_multihost
 
     initialize_multihost()
+
+    if args.config:
+        cfg = TrainConfig.from_json(open(args.config).read())
+        trainer = Trainer(cfg)
+        if args.eval:
+            print(trainer.evaluate())
+        else:
+            trainer.fit()
+        return
 
     nc = args.nb_classes or DEFAULT_CLASSES[args.dataset.lower()]
     cfg = TrainConfig(
