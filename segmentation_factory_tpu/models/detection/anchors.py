@@ -22,7 +22,9 @@ def base_anchors(size: float, aspect_ratios: Sequence[float]) -> np.ndarray:
     w_ratios = 1.0 / h_ratios
     ws = (w_ratios[:, None] * scales[None, :]).reshape(-1)
     hs = (h_ratios[:, None] * scales[None, :]).reshape(-1)
-    return np.stack([-ws, -hs, ws, hs], axis=1) / 2.0
+    # the reference rounds the cell anchors (rpn_function.py:92 .round();
+    # numpy round is banker's like torch's, so values match exactly)
+    return np.round(np.stack([-ws, -hs, ws, hs], axis=1) / 2.0)
 
 
 def grid_anchors(

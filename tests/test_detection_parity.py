@@ -150,3 +150,48 @@ def test_smooth_l1_matches(ref_det):
     got = float(jnp.mean(D.smooth_l1_loss(jnp.asarray(x), jnp.asarray(y),
                                           beta=1.0 / 9)))
     assert abs(want - got) < 1e-6
+
+
+def test_anchor_grid_matches_reference():
+    import torch
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            return lambda *a, **k: None
+
+    tv = sys.modules.setdefault("torchvision", _AnyAttr("torchvision"))
+    spec = importlib.util.spec_from_file_location(
+        "ref_rpn", "/root/reference/models/modules/rpn_function.py"
+    )
+    try:
+        rpn = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(rpn)
+    except Exception as e:  # pure-torch file should load; surface why if not
+        pytest.skip(f"cannot load reference rpn_function: {e}")
+
+    from segmentation_factory_tpu.models.detection.anchors import (
+        anchors_for_pyramid,
+    )
+
+    sizes = ((32,), (64,), (128,))
+    ratios = ((0.5, 1.0, 2.0),) * 3
+    gen = rpn.AnchorsGenerator(sizes, ratios)
+    gen.set_cell_anchors(torch.float32, torch.device("cpu"))
+    grid_sizes = [(16, 24), (8, 12), (4, 6)]
+    image_hw = (128, 192)
+    strides = [
+        [torch.tensor(image_hw[0] // h), torch.tensor(image_hw[1] // w)]
+        for h, w in grid_sizes
+    ]
+    want = torch.cat(gen.grid_anchors(grid_sizes, strides)).numpy()
+
+    got, counts = anchors_for_pyramid(
+        grid_sizes, image_hw, sizes=(32, 64, 128), aspect_ratios=(0.5, 1.0, 2.0)
+    )
+    assert sum(counts) == want.shape[0]
+    np.testing.assert_allclose(got, want, atol=1e-4)
