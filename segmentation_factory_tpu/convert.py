@@ -107,10 +107,11 @@ def convert_segformer_head(sd: Dict, prefix: str = "") -> Tuple[Dict, Dict]:
     params: Dict = {}
     for i in range(1, 5):
         params[f"linear_c{i}"] = t_linear(sd, g(f"linear_c{i}.proj"))
-    # reference ConvModule is an nn.Sequential: children "0" (conv), "1" (BN)
-    bn_p, bn_s = t_bn(sd, g("linear_fuse.1"))
+    # heads/segformer.py defines its OWN ConvModule with named children
+    # .conv/.bn (unlike layers/conv_module.py's Sequential "0"/"1")
+    bn_p, bn_s = t_bn(sd, g("linear_fuse.bn"))
     params["linear_fuse"] = {
-        "Conv_0": t_conv(sd, g("linear_fuse.0")),
+        "Conv_0": t_conv(sd, g("linear_fuse.conv")),
         "BatchNorm_0": {"BatchNorm_0": bn_p},
     }
     # linear_pred is a 1x1 conv in the reference; our classifier is Dense

@@ -102,3 +102,51 @@ def test_converted_tree_matches_init_structure(ref_mit_module):
         for p, v in jax.tree_util.tree_leaves_with_path(params)
     }
     assert init_paths == conv_paths
+
+
+def test_full_flagship_model_torch_parity(ref_mit_module):
+    """Flagship end-to-end: ref MiT-B0 + ref SegFormerHead + x4 bilinear
+    upsample (build_models.py:65) vs our build_model with converted weights —
+    including the commuted per-level fuse (identical param tree)."""
+    import importlib.util
+
+    import torch
+    import torch.nn.functional as F
+
+    from segmentation_factory_tpu.convert import convert_segmentation_model
+    from segmentation_factory_tpu.models import build_model
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_segformer_head", "/root/reference/models/heads/segformer.py"
+    )
+    ref_head_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_head_mod)
+
+    torch.manual_seed(0)
+    bb = ref_mit_module.MiT("B0").eval()
+    head = ref_head_mod.SegFormerHead([32, 64, 160, 256], 256, 19).eval()
+    for m in head.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.1, 0.1)
+            m.running_var.uniform_(0.9, 1.1)
+
+    sd = {f"backbone.{k}": v.detach().numpy() for k, v in bb.state_dict().items()}
+    sd.update({f"decode_head.{k}": v.detach().numpy()
+               for k, v in head.state_dict().items()})
+
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats = bb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        logits_t = head(feats)
+        logits_t = F.interpolate(logits_t, size=(64, 64), mode="bilinear",
+                                 align_corners=False).numpy().transpose(0, 2, 3, 1)
+
+    model = build_model("mit_b0", "segformerhead", num_classes=19,
+                        dtype=jnp.float32)
+    tree = convert_segmentation_model(sd, depths=[2, 2, 2, 2])
+    logits_j = model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t,
+                               rtol=1e-3, atol=1e-3)
