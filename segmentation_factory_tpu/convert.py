@@ -322,6 +322,53 @@ def convert_efficientvit_b(sd: Dict, depths, head_dim: int = 16) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def _evit_fmbconv(sd, prefix) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    _evit_merge(p, s, "spatial_conv", t_convlayer(sd, f"{prefix}.spatial_conv"))
+    _evit_merge(p, s, "point_conv", t_convlayer(sd, f"{prefix}.point_conv"))
+    return p, s
+
+
+def _evit_resblock(sd, prefix) -> Tuple[Dict, Dict]:
+    p: Dict = {}
+    s: Dict = {}
+    _evit_merge(p, s, "conv1", t_convlayer(sd, f"{prefix}.conv1"))
+    _evit_merge(p, s, "conv2", t_convlayer(sd, f"{prefix}.conv2"))
+    return p, s
+
+
+def convert_efficientvit_l(sd: Dict, depths, head_dim: int = 32) -> Dict:
+    """Reference EfficientViTLargeBackbone (efficientViT.py:201-339) ->
+    {'params', 'batch_stats'} for backbones/efficientvit.EfficientViTLargeBackbone.
+
+    Layout: stages.0 = stem ConvLayer + residual ResBlocks;
+    stages.1-4 = non-residual downsample (fmb/fmb/mb/mb) + residual blocks
+    of the stage kind (res/fmb/fmb/mb/att)."""
+    blocks = ("res", "fmb", "fmb", "mb", "att")
+    conv = {"res": _evit_resblock, "fmb": _evit_fmbconv, "mb": _evit_mbconv}
+    p: Dict = {}
+    s: Dict = {}
+    _evit_merge(p, s, "stem_conv", t_convlayer(sd, "stages.0.op_list.0"))
+    for i in range(depths[0]):
+        _evit_merge(p, s, f"stem_{i}",
+                    _evit_resblock(sd, f"stages.0.op_list.{i + 1}.main"))
+    for st in (1, 2, 3, 4):
+        kind = blocks[st]
+        down_kind = kind if kind in ("mb", "fmb") else "mb"
+        base = f"stages.{st}.op_list"
+        _evit_merge(p, s, f"stage{st}_down",
+                    conv[down_kind](sd, f"{base}.0.main"))
+        for j in range(depths[st]):
+            if kind == "att":
+                _evit_merge(p, s, f"stage{st}_{j}",
+                            _evit_block(sd, f"{base}.{j + 1}", head_dim))
+            else:
+                _evit_merge(p, s, f"stage{st}_{j}",
+                            conv[kind](sd, f"{base}.{j + 1}.main"))
+    return {"params": p, "batch_stats": s}
+
+
 def convert_segmentation_model(sd: Dict, depths) -> Dict:
     """Full reference SegmentationModel (backbone.* + decode_head.*) ->
     {'params': ..., 'batch_stats': ...} for models.build.SegmentationModel."""

@@ -100,3 +100,47 @@ def test_efficientvit_b1_torch_parity(ref_evit):
             atol=2e-4,
             err_msg=f"stage {i + 1}",
         )
+
+
+def test_efficientvit_l1_torch_parity(ref_evit):
+    import torch
+
+    from segmentation_factory_tpu.convert import convert_efficientvit_l
+
+    torch.manual_seed(1)
+    depths = [1, 1, 1, 6, 6]
+    tb = ref_evit.efficientvit_backbone_l1().eval()
+    for m in tb.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.1, 0.1)
+            m.running_var.uniform_(0.9, 1.1)
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    jb, ch = get_backbone("efficientvit_l1", dtype=jnp.float32)
+    tree = convert_efficientvit_l(sd, depths, head_dim=32)
+
+    x = np.random.default_rng(1).normal(size=(1, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        out = tb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    feats_t = [out[f"stage{i}"] for i in (1, 2, 3, 4)]
+
+    init = jb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    assert jax.tree_util.tree_structure(init["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(jnp.asarray, tree["params"])
+        )
+    ), "converted EfficientViT-L param-tree structure mismatch"
+
+    feats_j = jb.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x),
+        train=False,
+    )
+    for i, (ft, fj) in enumerate(zip(feats_t, feats_j)):
+        np.testing.assert_allclose(
+            np.asarray(fj),
+            ft.numpy().transpose(0, 2, 3, 1),
+            rtol=3e-4,
+            atol=3e-4,
+            err_msg=f"stage {i + 1}",
+        )
