@@ -369,6 +369,55 @@ def convert_efficientvit_l(sd: Dict, depths, head_dim: int = 32) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def convert_crossformer(sd: Dict, depths) -> Dict:
+    """Reference CrossFormer (crossformer.py:598-783, single-kernel default)
+    -> flax params for backbones/crossformer.CrossFormer.
+
+    Layout: patch_embed.projs.0 + .norm; layers.{s}.blocks.{j}.{norm1,
+    attn.{qkv,proj,pos.*}, norm2, mlp.{fc1,fc2}}; layers.{s}.downsample.
+    {norm, reductions.0}. DynamicPosBias: pos_proj + pos{1,2,3} =
+    [LN, ReLU, Linear] each.
+    """
+
+    def dpb(prefix):
+        return {
+            "Dense_0": t_linear(sd, f"{prefix}.pos_proj"),
+            "LayerNorm_0": t_ln(sd, f"{prefix}.pos1.0"),
+            "Dense_1": t_linear(sd, f"{prefix}.pos1.2"),
+            "LayerNorm_1": t_ln(sd, f"{prefix}.pos2.0"),
+            "Dense_2": t_linear(sd, f"{prefix}.pos2.2"),
+            "LayerNorm_2": t_ln(sd, f"{prefix}.pos3.0"),
+            "Dense_3": t_linear(sd, f"{prefix}.pos3.2"),
+        }
+
+    p: Dict = {
+        "patch_embed": {
+            "proj0": t_conv(sd, "patch_embed.projs.0"),
+            "LayerNorm_0": t_ln(sd, "patch_embed.norm"),
+        }
+    }
+    for s in range(4):
+        for j in range(depths[s]):
+            r = f"layers.{s}.blocks.{j}"
+            p[f"block{s}_{j}"] = {
+                "norm1": t_ln(sd, f"{r}.norm1"),
+                "attn": {
+                    "qkv": t_linear(sd, f"{r}.attn.qkv"),
+                    "proj": t_linear(sd, f"{r}.attn.proj"),
+                    "pos": dpb(f"{r}.attn.pos"),
+                },
+                "norm2": t_ln(sd, f"{r}.norm2"),
+                "Dense_0": t_linear(sd, f"{r}.mlp.fc1"),
+                "Dense_1": t_linear(sd, f"{r}.mlp.fc2"),
+            }
+        if s < 3:
+            p[f"merge{s + 1}"] = {
+                "LayerNorm_0": t_ln(sd, f"layers.{s}.downsample.norm"),
+                "proj0": t_conv(sd, f"layers.{s}.downsample.reductions.0"),
+            }
+    return p
+
+
 def convert_segmentation_model(sd: Dict, depths) -> Dict:
     """Full reference SegmentationModel (backbone.* + decode_head.*) ->
     {'params': ..., 'batch_stats': ...} for models.build.SegmentationModel."""
