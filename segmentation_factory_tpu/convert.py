@@ -170,6 +170,21 @@ def convert_convnext(sd: Dict, depths) -> Dict:
     return p
 
 
+def convert_convnextv2(sd: Dict, depths) -> Dict:
+    """Reference ConvNeXtV2 (convnextv2.py) -> flax params: the V1 layout
+    plus per-block GRN (gamma/beta stored (1,1,1,C) there, (C,) here) and no
+    layer-scale gamma."""
+    p = convert_convnext(sd, depths)
+    for i in range(4):
+        for j in range(depths[i]):
+            r = f"stages.{i}.{j}"
+            p[f"block{i}_{j}"]["grn"] = {
+                "gamma": np.asarray(sd[f"{r}.grn.gamma"]).reshape(-1),
+                "beta": np.asarray(sd[f"{r}.grn.beta"]).reshape(-1),
+            }
+    return p
+
+
 def convert_uperhead(sd: Dict, num_scales: int = 4) -> Tuple[Dict, Dict]:
     """Reference UPerHead -> (params, batch_stats) for heads/upernet.UPerHead.
 

@@ -118,3 +118,47 @@ def test_convnext_uperhead_torch_parity(ref_modules):
     np.testing.assert_allclose(
         np.asarray(logits_j), logits_t, rtol=1e-3, atol=1e-3
     )
+
+
+def test_convnextv2_atto_torch_parity(ref_modules):
+    """ConvNeXtV2 (GRN instead of layer scale) value parity — sixth family."""
+    import importlib.util
+    import types
+
+    import torch
+
+    from segmentation_factory_tpu.convert import convert_convnextv2
+
+    # convnextv2.py imports timm.models.register_model
+    tm = types.ModuleType("timm.models")
+    tm.register_model = lambda fn: fn
+    timm = types.ModuleType("timm")
+    timm.models = tm
+    sys.modules.setdefault("timm", timm)
+    sys.modules["timm.models"] = tm
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_convnextv2", "/root/reference/models/backbones/convnextv2.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(0)
+    depths = [2, 2, 6, 2]
+    tb = mod.convnextv2_atto().eval()
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    jb, ch = get_backbone("convnextv2_atto", dtype=jnp.float32,
+                          drop_path_rate=0.0)
+    params = convert_convnextv2(sd, depths)
+
+    x = np.random.default_rng(0).normal(size=(1, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = tb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    feats_j = jb.apply({"params": params}, jnp.asarray(x), train=False)
+    for i, (ft, fj) in enumerate(zip(feats_t, feats_j)):
+        np.testing.assert_allclose(
+            np.asarray(fj), ft.numpy().transpose(0, 2, 3, 1),
+            rtol=3e-4, atol=3e-4, err_msg=f"stage {i}",
+        )
