@@ -384,6 +384,58 @@ def convert_efficientvit_l(sd: Dict, depths, head_dim: int = 32) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def _t_ln_scale(sd, prefix) -> Dict:
+    """Scale-only LayerNorm (LayerNormWithoutBias / LayerNormGeneral
+    bias=False)."""
+    return {"scale": np.asarray(sd[f"{prefix}.weight"])}
+
+
+def convert_convformer(sd: Dict, depths) -> Dict:
+    """Reference ConvFormer (metaformer.py, token_mixers=SepConv) -> flax
+    params for backbones/metaformer.MetaFormer.
+
+    Layout: downsample_layers.0.{conv,post_norm}; downsample_layers.i.
+    {pre_norm,conv}; stages.{i}.{j}.{norm1, token_mixer.{pwconv1,act1,dwconv,
+    pwconv2}, norm2, mlp.{fc1,act,fc2}, res_scale1/2 (stages 3-4)}.
+    """
+
+    def star(prefix):
+        return {
+            "scale": np.asarray(sd[f"{prefix}.scale"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    p: Dict = {
+        "stem": t_conv(sd, "downsample_layers.0.conv"),
+        "stem_norm": _t_ln_scale(sd, "downsample_layers.0.post_norm"),
+    }
+    for i in range(1, 4):
+        p[f"down_norm{i}"] = _t_ln_scale(sd, f"downsample_layers.{i}.pre_norm")
+        p[f"down{i}"] = t_conv(sd, f"downsample_layers.{i}.conv")
+    for i in range(4):
+        for j in range(depths[i]):
+            r = f"stages.{i}.{j}"
+            dw = np.asarray(sd[f"{r}.token_mixer.dwconv.weight"])
+            blk: Dict = {
+                "norm1": _t_ln_scale(sd, f"{r}.norm1"),
+                "token_mixer": {
+                    "pw1": t_linear(sd, f"{r}.token_mixer.pwconv1"),
+                    "act1": star(f"{r}.token_mixer.act1"),
+                    "dw": {"kernel": dw.transpose(2, 3, 1, 0)},
+                    "pw2": t_linear(sd, f"{r}.token_mixer.pwconv2"),
+                },
+                "norm2": _t_ln_scale(sd, f"{r}.norm2"),
+                "Dense_0": t_linear(sd, f"{r}.mlp.fc1"),
+                "mlp_act": star(f"{r}.mlp.act"),
+                "Dense_1": t_linear(sd, f"{r}.mlp.fc2"),
+            }
+            if f"{r}.res_scale1.scale" in sd:
+                blk["res_scale1"] = np.asarray(sd[f"{r}.res_scale1.scale"])
+                blk["res_scale2"] = np.asarray(sd[f"{r}.res_scale2.scale"])
+            p[f"block{i}_{j}"] = blk
+    return p
+
+
 def convert_crossformer(sd: Dict, depths) -> Dict:
     """Reference CrossFormer (crossformer.py:598-783, single-kernel default)
     -> flax params for backbones/crossformer.CrossFormer.

@@ -35,9 +35,9 @@ class SpatialOperation(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        a = ConvModule(c, 3, padding=1, groups=c, norm="bn", act="relu", dtype=self.dtype)(
-            x, train=train
-        )
+        # ref keeps the (BN-redundant) conv bias (casvit.py:72 default bias)
+        a = ConvModule(c, 3, padding=1, groups=c, use_bias=True, norm="bn",
+                       act="relu", dtype=self.dtype)(x, train=train)
         a = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype)(a)
         return x * nn.sigmoid(a)
 
@@ -113,10 +113,13 @@ class RCViT(nn.Module):
     def __call__(self, x, train: bool = False):
         dims = self.embed_dims
         # stem: two 3x3/2 convs (ref :19-26)
-        x = ConvModule(dims[0] // 2, 3, strides=2, padding=1, norm="bn", act="relu",
-                       dtype=self.dtype, name="stem1")(x, train=train)
-        x = ConvModule(dims[0], 3, strides=2, padding=1, norm="bn", act="relu",
-                       dtype=self.dtype, name="stem2")(x, train=train)
+        # ref stem convs keep their bias despite the BN (casvit.py:19-26)
+        x = ConvModule(dims[0] // 2, 3, strides=2, padding=1, use_bias=True,
+                       norm="bn", act="relu", dtype=self.dtype, name="stem1")(
+            x, train=train)
+        x = ConvModule(dims[0], 3, strides=2, padding=1, use_bias=True,
+                       norm="bn", act="relu", dtype=self.dtype, name="stem2")(
+            x, train=train)
         dprs = drop_path_rates(self.drop_path_rate, self.layers)
         feats = []
         for s in range(4):

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from segmentation_factory_tpu.models.layers import DropPath, drop_path_rates
-from segmentation_factory_tpu.models.layers.act import star_relu
 from segmentation_factory_tpu.registry import register_backbone
 
 
@@ -52,6 +51,21 @@ class RandomMixing(nn.Module):
         return y.reshape(b, h, w, c)
 
 
+class StarReLU(nn.Module):
+    """s * relu(x)^2 + b with LEARNABLE scalar scale/bias, init (1, 0)
+    (ref :224-242 — the 0.8944/-0.4472 constants in the docstring are the
+    paper's recommendation; the reference code initializes 1.0/0.0)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (1,))
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        r = nn.relu(x)
+        return scale * r * r + bias
+
+
 class Pooling(nn.Module):
     """avgpool3x3 - identity (PoolFormer mixer, ref :278-297)."""
 
@@ -72,13 +86,13 @@ class SepConv(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         mid = int(c * self.expand)
-        y = nn.Dense(mid, dtype=self.dtype, name="pw1")(x)
-        y = star_relu(y)
+        y = nn.Dense(mid, use_bias=False, dtype=self.dtype, name="pw1")(x)
+        y = StarReLU(dtype=self.dtype, name="act1")(y)
         y = nn.Conv(
             mid, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=mid,
             use_bias=False, dtype=self.dtype, name="dw",
         )(y)
-        return nn.Dense(c, dtype=self.dtype, name="pw2")(y)
+        return nn.Dense(c, use_bias=False, dtype=self.dtype, name="pw2")(y)
 
 
 class VanillaAttention(nn.Module):
@@ -101,7 +115,7 @@ class VanillaAttention(nn.Module):
         # so the KV block fits VMEM and the fused Pallas path applies
         y = sra_attention(q, k, v, self.head_dim**-0.5)
         y = y.reshape(b, h, w, nh * self.head_dim)
-        return nn.Dense(c, dtype=self.dtype)(y)
+        return nn.Dense(c, use_bias=False, dtype=self.dtype)(y)  # ref proj_bias=False
 
 
 class MetaFormerBlock(nn.Module):
@@ -109,7 +123,7 @@ class MetaFormerBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     layer_scale: float = 0.0
-    res_scale: bool = False
+    res_scale: bool = False  # learnable residual-stream scale (ref stages 3-4)
     dtype: Any = None
 
     @nn.compact
@@ -123,14 +137,20 @@ class MetaFormerBlock(nn.Module):
                 y = y * g
             return y
 
+        def res(x, name):
+            if self.res_scale:
+                g = self.param(name, nn.initializers.ones, (c,))
+                return x * g
+            return x
+
         y = nn.LayerNorm(use_bias=False, dtype=self.dtype, name="norm1")(x)
         y = self.mixer(name="token_mixer")(y)
-        x = x + dp(scaled(y, "ls1"), deterministic)
+        x = res(x, "res_scale1") + dp(scaled(y, "ls1"), deterministic)
         y = nn.LayerNorm(use_bias=False, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), use_bias=False, dtype=self.dtype)(y)
-        y = star_relu(y)
+        y = StarReLU(dtype=self.dtype, name="mlp_act")(y)
         y = nn.Dense(c, use_bias=False, dtype=self.dtype)(y)
-        return x + dp(scaled(y, "ls2"), deterministic)
+        return res(x, "res_scale2") + dp(scaled(y, "ls2"), deterministic)
 
 
 class MetaFormer(nn.Module):
@@ -180,6 +200,8 @@ class MetaFormer(nn.Module):
                 x = MetaFormerBlock(
                     mixer=self._mixer(self.mixers[s], s),
                     drop_path=dprs[s][j],
+                    # ref res_scale_init_values default [None, None, 1., 1.]
+                    res_scale=s >= 2,
                     dtype=self.dtype,
                     name=f"block{s}_{j}",
                 )(x, deterministic=det)

@@ -1,0 +1,99 @@
+"""Cross-framework parity #7: reference ConvFormer-S18 -> converted flax
+params -> identical pyramid features (validates SepConv mixers, learnable
+StarReLU, scale-only LayerNorms, stem post-norm / pre-norm downsamples, and
+the stage-3/4 learnable residual scales)."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from segmentation_factory_tpu.convert import convert_convformer
+from segmentation_factory_tpu.registry import get_backbone
+
+
+@pytest.fixture(scope="module")
+def ref_metaformer():
+    import torch.nn as tnn
+
+    class _DropPath(tnn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tml = types.ModuleType("timm.models.layers")
+    tml.DropPath = _DropPath
+    tml.trunc_normal_ = lambda *a, **k: None
+    tml.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+    tmr = types.ModuleType("timm.models.registry")
+    tmr.register_model = lambda fn: fn
+    tdata = types.ModuleType("timm.data")
+    tdata.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    tdata.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    tm = types.ModuleType("timm.models")
+    tm.layers, tm.registry = tml, tmr
+    timm = types.ModuleType("timm")
+    timm.models, timm.data = tm, tdata
+    sys.modules.update({
+        "timm": timm, "timm.models": tm, "timm.models.layers": tml,
+        "timm.models.registry": tmr, "timm.data": tdata,
+    })
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_metaformer", "/root/reference/models/backbones/metaformer.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_convformer_s18_torch_parity(ref_metaformer):
+    import torch
+
+    torch.manual_seed(0)
+    depths = [3, 3, 9, 3]
+    tb = ref_metaformer.convformer_s18(drop_path_rate=0.0).eval()
+    # randomize the learnable StarReLU / residual scales so the test bites
+    with torch.no_grad():
+        for name, prm in tb.named_parameters():
+            if name.endswith((".act1.scale", ".act.scale")):
+                prm.uniform_(0.8, 1.2)
+            if name.endswith((".act1.bias", ".act.bias")):
+                prm.uniform_(-0.2, 0.2)
+            if "res_scale" in name:
+                prm.uniform_(0.9, 1.1)
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    jb, ch = get_backbone("convformer_s18", dtype=jnp.float32,
+                          drop_path_rate=0.0)
+    params = convert_convformer(sd, depths)
+
+    x = np.random.default_rng(0).normal(size=(1, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = tb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    init = jb.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    assert jax.tree_util.tree_structure(init["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(jnp.asarray, params)
+        )
+    ), "converted ConvFormer param-tree structure mismatch"
+
+    feats_j = jb.apply({"params": params}, jnp.asarray(x), train=False)
+    for i, (ft, fj) in enumerate(zip(feats_t, feats_j)):
+        want = ft.numpy()
+        if want.shape[1] == fj.shape[-1]:
+            want = want.transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(fj), want, rtol=1e-3, atol=1e-3, err_msg=f"stage {i}"
+        )

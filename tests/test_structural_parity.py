@@ -74,21 +74,23 @@ def _load_ref(fname):
 
 
 def _torch_inventory(model, exclude=()):
+    """All learnable tensors (weights, biases, scales) except BN running
+    stats; shapes sorted with singleton dims dropped."""
     inv = collections.Counter()
     for name, p in model.state_dict().items():
         if any(name.startswith(e) for e in exclude):
             continue
-        if name.endswith("weight") and p.ndim >= 1:
+        if name.endswith(("running_mean", "running_var", "num_batches_tracked")):
+            continue
+        if p.ndim >= 1:
             inv[tuple(sorted(d for d in p.shape if d != 1)) or (1,)] += 1
     return inv
 
 
 def _flax_inventory(params):
     inv = collections.Counter()
-    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        key = jax.tree_util.keystr(path)
-        if key.endswith("['kernel']") or key.endswith("['scale']"):
-            inv[tuple(sorted(d for d in leaf.shape if d != 1)) or (1,)] += 1
+    for _, leaf in jax.tree_util.tree_leaves_with_path(params):
+        inv[tuple(sorted(d for d in leaf.shape if d != 1)) or (1,)] += 1
     return inv
 
 
