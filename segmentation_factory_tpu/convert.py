@@ -496,6 +496,101 @@ def convert_segmentation_model(sd: Dict, depths) -> Dict:
     return {"params": params, "batch_stats": {"decode_head": head_stats}}
 
 
+def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
+    """Dispatch a reference BACKBONE state dict to the right converter
+    (the `--pretrained_backbone` flow, ref build_models.py:56-60 which
+    load_state_dict(strict=False)s into any backbone).
+
+    Returns {'params': ..., 'batch_stats': ...} for the backbone subtree.
+    """
+    name = backbone_name.lower()
+    # strip a potential "backbone." prefix from full-model checkpoints
+    if any(k.startswith("backbone.") for k in sd):
+        sd = {k[len("backbone."):]: v for k, v in sd.items()
+              if k.startswith("backbone.")}
+
+    if name.startswith("mit_"):
+        from segmentation_factory_tpu.models.backbones.mit import MIT_SETTINGS
+
+        depths = MIT_SETTINGS[name.split("_")[-1]][1]
+        return {"params": convert_mit(sd, depths), "batch_stats": {}}
+    if name.startswith("convnextv2_"):
+        from segmentation_factory_tpu.models.backbones.convnextv2 import (
+            CONVNEXTV2_SETTINGS,
+        )
+
+        depths = CONVNEXTV2_SETTINGS[name.split("_", 1)[1]][0]
+        return {"params": convert_convnextv2(sd, depths), "batch_stats": {}}
+    if name.startswith("convnext_"):
+        from segmentation_factory_tpu.models.backbones.convnext import (
+            CONVNEXT_SETTINGS,
+        )
+
+        depths = CONVNEXT_SETTINGS[name.split("_", 1)[1]][0]
+        return {"params": convert_convnext(sd, depths), "batch_stats": {}}
+    if name.startswith("efficientvit_b"):
+        from segmentation_factory_tpu.models.backbones.efficientvit import (
+            EFFICIENTVIT_SETTINGS,
+        )
+
+        _, depths, head_dim = EFFICIENTVIT_SETTINGS[name.split("_", 1)[1]]
+        return convert_efficientvit_b(sd, depths, head_dim)
+    if name.startswith("efficientvit_l"):
+        from segmentation_factory_tpu.models.backbones.efficientvit import (
+            EFFICIENTVIT_LARGE_SETTINGS,
+        )
+
+        _, depths = EFFICIENTVIT_LARGE_SETTINGS[name.split("_", 1)[1]]
+        return convert_efficientvit_l(sd, depths)
+    if name.startswith("crossformer_"):
+        from segmentation_factory_tpu.models.backbones.crossformer import (
+            CROSSFORMER_SETTINGS,
+        )
+
+        depths = CROSSFORMER_SETTINGS[name.split("_", 1)[1]][1]
+        return {"params": convert_crossformer(sd, depths), "batch_stats": {}}
+    if name.startswith("convformer_"):
+        from segmentation_factory_tpu.models.backbones.metaformer import _DEPTHS
+
+        key = "".join(ch for ch in name.split("_")[-1] if ch.isdigit())
+        return {"params": convert_convformer(sd, _DEPTHS[key]), "batch_stats": {}}
+    raise KeyError(
+        f"no torch converter for backbone family of {backbone_name!r}; "
+        "available: mit_*, convnext_*, convnextv2_*, efficientvit_b*/l*, "
+        "crossformer_*, convformer_*"
+    )
+
+
+def merge_backbone_pretrained(state_params, state_stats, tree, strict=False):
+    """Merge converted backbone weights into a model param tree, matching
+    the reference's load_state_dict(strict=False) semantics: intersecting
+    paths with matching shapes load; everything else is reported."""
+    import jax
+
+    loaded, skipped = [], []
+
+    def merge(dst, src, where):
+        for k, v in src.items():
+            if k not in dst:
+                skipped.append(f"{where}/{k} (missing in model)")
+                continue
+            if isinstance(v, dict):
+                merge(dst[k], v, f"{where}/{k}")
+            else:
+                if tuple(np.shape(dst[k])) == tuple(np.shape(v)):
+                    dst[k] = jax.numpy.asarray(v, dst[k].dtype)
+                    loaded.append(f"{where}/{k}")
+                else:
+                    skipped.append(f"{where}/{k} (shape mismatch)")
+
+    merge(state_params["backbone"], tree["params"], "backbone")
+    if tree.get("batch_stats") and "backbone" in (state_stats or {}):
+        merge(state_stats["backbone"], tree["batch_stats"], "backbone_stats")
+    if strict and skipped:
+        raise ValueError(f"pretrained-backbone mismatches: {skipped[:10]}")
+    return loaded, skipped
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     """Load a .pth file to a {name: np.ndarray} dict (CPU, no grads)."""
     import torch

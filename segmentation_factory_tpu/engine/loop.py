@@ -116,6 +116,10 @@ class Trainer:
         )
         self.state: TrainState = jax.device_put(state, self.replicated)
 
+        if cfg.model.pretrained_backbone:
+            self.state = self._load_pretrained_backbone(
+                cfg.model.pretrained_backbone
+            )
         if cfg.model.finetune:
             self.state = self._load_finetune(cfg.model.finetune, cfg.model.freeze)
 
@@ -193,6 +197,29 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------
+
+    def _load_pretrained_backbone(self, path: str):
+        """ImageNet-style backbone init from a reference torch .pth
+        (ref build_models.py:56-60 load_state_dict(strict=False))."""
+        from segmentation_factory_tpu.convert import (
+            convert_backbone,
+            load_torch_checkpoint,
+            merge_backbone_pretrained,
+        )
+
+        sd = load_torch_checkpoint(path)
+        tree = convert_backbone(sd, self.cfg.model.backbone)
+        params = jax.tree_util.tree_map(lambda x: x, self.state.params)  # copy
+        stats = jax.tree_util.tree_map(lambda x: x, self.state.batch_stats)
+        loaded, skipped = merge_backbone_pretrained(params, stats, tree)
+        print(f"pretrained backbone {path}: {len(loaded)} tensors loaded, "
+              f"{len(skipped)} skipped")
+        if skipped[:3]:
+            print("  e.g. skipped:", skipped[:3])
+        return self.state.replace(
+            params=jax.device_put(params, self.replicated),
+            batch_stats=jax.device_put(stats, self.replicated),
+        )
 
     def _load_finetune(self, path: str, freeze: bool):
         """Finetune init: load ckpt params with classifier-key surgery and

@@ -150,3 +150,47 @@ def test_full_flagship_model_torch_parity(ref_mit_module):
     )
     np.testing.assert_allclose(np.asarray(logits_j), logits_t,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_pretrained_backbone_flow(ref_mit_module, tmp_path):
+    """--pretrained_backbone end-to-end: save a reference torch .pth, load it
+    through convert_backbone + merge_backbone_pretrained into a fresh model
+    state, and verify the backbone now reproduces the reference features."""
+    import torch
+
+    from segmentation_factory_tpu.convert import (
+        convert_backbone,
+        load_torch_checkpoint,
+        merge_backbone_pretrained,
+    )
+    from segmentation_factory_tpu.models import build_model
+
+    torch.manual_seed(0)
+    ref = ref_mit_module.MiT("B0").eval()
+    path = str(tmp_path / "mit_b0_imagenet.pth")
+    torch.save(ref.state_dict(), path)
+
+    model = build_model("mit_b0", "segformerhead", num_classes=7,
+                        dtype=jnp.float32)
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    params = jax.tree_util.tree_map(lambda v: v, variables["params"])
+    stats = jax.tree_util.tree_map(
+        lambda v: v, variables.get("batch_stats", {})
+    )
+
+    tree = convert_backbone(load_torch_checkpoint(path), "mit_b0")
+    loaded, skipped = merge_backbone_pretrained(params, stats, tree)
+    assert len(loaded) > 50 and not skipped, (len(loaded), skipped[:5])
+
+    feats = model.apply({"params": params}, jnp.asarray(x), train=False,
+                        method=lambda m, x, train: m.backbone(x, train=train))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for g, r in zip(feats, want):
+        np.testing.assert_allclose(
+            np.asarray(g), r.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+        )

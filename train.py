@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--clip-mode", default="agc")
     p.add_argument("--loss", default="ce", help="ce|ohem|focal|dicebce")
     p.add_argument("--no-dice", action="store_true")
+    p.add_argument("--pretrained-backbone", default=None,
+                   help="reference torch .pth with backbone weights "
+                        "(ImageNet init; loaded strict=False-style)")
     p.add_argument("--finetune", default=None,
                    help="checkpoint dir or reference .pth to initialize from")
     p.add_argument("--freeze-layers", action="store_true",
@@ -105,6 +108,7 @@ def main():
             head=args.head,
             num_classes=nc,
             embed_dim=args.embed_dim,
+            pretrained_backbone=args.pretrained_backbone,
             finetune=args.finetune,
             freeze=args.freeze_layers,
             remat=args.remat,
