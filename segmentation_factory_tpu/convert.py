@@ -496,6 +496,76 @@ def convert_segmentation_model(sd: Dict, depths) -> Dict:
     return {"params": params, "batch_stats": {"decode_head": head_stats}}
 
 
+def convert_iformer(sd: Dict, variant: str) -> Dict:
+    """Reference iFormer (iformer.py) -> flax params for backbones/iformer
+    (use_reparam=False: the reference's literal plain-dw structure).
+
+    Layout: downsample_layers.0.{0 stem Conv2d_BN, 2 EdgeResidual};
+    downsample_layers.{1-3}.0 Conv2d_BN; stages.{s}.{j}.block with
+    token_channel_mixer.m.{0,1,3} (ConvBlock), cpe.m (RepCPE),
+    token_channel_mixer.m.{q,k,v_gate,proj} (SHMABlock),
+    channel_mixer.m.{0,2} (FFN2d). Every conv is Conv2d_BN (.c + .bn).
+    """
+    from segmentation_factory_tpu.models.backbones.iformer import (
+        IFORMER_SETTINGS,
+    )
+
+    depths, _, schedule = IFORMER_SETTINGS[variant]
+
+    def conv_bn(prefix):
+        bn_p, bn_s = t_bn(sd, f"{prefix}.bn")
+        w = np.asarray(sd[f"{prefix}.c.weight"])  # (out, in/groups, kh, kw)
+        return (
+            {"Conv_0": {"kernel": w.transpose(2, 3, 1, 0)},
+             "BatchNorm_0": {"BatchNorm_0": bn_p}},
+            {"BatchNorm_0": {"BatchNorm_0": bn_s}},
+        )
+
+    p: Dict = {}
+    s: Dict = {}
+
+    def put(name, sub):
+        p[name], s[name] = sub
+
+    put("stem1", conv_bn("downsample_layers.0.0"))
+    put("stem2_exp", conv_bn("downsample_layers.0.2.conv_exp_bn1"))
+    put("stem2_pwl", conv_bn("downsample_layers.0.2.conv_pwl_bn2"))
+    for st in (1, 2, 3):
+        put(f"down{st}", conv_bn(f"downsample_layers.{st}.0"))
+
+    cur = 0
+    for st in range(4):
+        for j in range(depths[st]):
+            kind = schedule[cur + j][0]
+            r = f"stages.{st}.{j}.block"
+            name = f"block{st}_{j}"
+            if kind == "conv":
+                mp, ms = conv_bn(f"{r}.token_channel_mixer.m.0")
+                p1, s1 = conv_bn(f"{r}.token_channel_mixer.m.1")
+                p2, s2 = conv_bn(f"{r}.token_channel_mixer.m.3")
+                p[name] = {"mixer": mp, "pw1": p1, "pw2": p2}
+                s[name] = {"mixer": ms, "pw1": s1, "pw2": s2}
+            elif kind == "cpe":
+                cp, cs = conv_bn(f"{r}.cpe.m")
+                p[name] = {"cpe": cp}
+                s[name] = {"cpe": cs}
+            elif kind == "ffn":
+                p1, s1 = conv_bn(f"{r}.channel_mixer.m.0")
+                p2, s2 = conv_bn(f"{r}.channel_mixer.m.2")
+                p[name] = {"pw1": p1, "pw2": p2}
+                s[name] = {"pw1": s1, "pw2": s2}
+            elif kind == "shma":
+                base = f"{r}.token_channel_mixer.m"
+                attn_p: Dict = {}
+                attn_s: Dict = {}
+                for sub in ("v_gate", "q", "k", "proj"):
+                    attn_p[sub], attn_s[sub] = conv_bn(f"{base}.{sub}")
+                p[name] = {"attn": attn_p}
+                s[name] = {"attn": attn_s}
+        cur += depths[st]
+    return {"params": p, "batch_stats": s}
+
+
 def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
     """Dispatch a reference BACKBONE state dict to the right converter
     (the `--pretrained_backbone` flow, ref build_models.py:56-60 which
@@ -542,6 +612,8 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
 
         _, depths = EFFICIENTVIT_LARGE_SETTINGS[name.split("_", 1)[1]]
         return convert_efficientvit_l(sd, depths)
+    if name.startswith("iformer_"):
+        return convert_iformer(sd, name.split("_", 1)[1])
     if name.startswith("crossformer_"):
         from segmentation_factory_tpu.models.backbones.crossformer import (
             CROSSFORMER_SETTINGS,
@@ -557,7 +629,7 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
     raise KeyError(
         f"no torch converter for backbone family of {backbone_name!r}; "
         "available: mit_*, convnext_*, convnextv2_*, efficientvit_b*/l*, "
-        "crossformer_*, convformer_*"
+        "iformer_*, crossformer_*, convformer_*"
     )
 
 
