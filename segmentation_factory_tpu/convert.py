@@ -496,6 +496,53 @@ def convert_segmentation_model(sd: Dict, depths) -> Dict:
     return {"params": params, "batch_stats": {"decode_head": head_stats}}
 
 
+def convert_mobilenetv2(sd: Dict) -> Dict:
+    """Reference MobileNetV2 (mobilenetv2.py; the reference's 'MobileNetV3'
+    is the identical graph) -> flax params for backbones/mobilenet.MobileNet.
+
+    Layout: features.0 = stem ConvModule Sequential(.0 conv, .1 BN);
+    features.{i}.conv = [ConvModule(expand), ConvModule(dw), proj conv, BN]
+    (the expand ConvModule is absent when expand_ratio == 1).
+    """
+    ir_table = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    def seq_convmodule(prefix):
+        bn_p, bn_s = t_bn(sd, f"{prefix}.1")
+        return (
+            {"Conv_0": t_conv(sd, f"{prefix}.0"),
+             "BatchNorm_0": {"BatchNorm_0": bn_p}},
+            {"BatchNorm_0": {"BatchNorm_0": bn_s}},
+        )
+
+    p: Dict = {}
+    s: Dict = {}
+    p["ConvModule_0"], s["ConvModule_0"] = seq_convmodule("features.0")
+    idx = 0
+    for t, c, n, st in ir_table:
+        for i in range(n):
+            idx += 1
+            r = f"features.{idx}.conv"
+            bp: Dict = {}
+            bs: Dict = {}
+            if t != 1:
+                bp["ConvModule_0"], bs["ConvModule_0"] = seq_convmodule(f"{r}.0")
+                bp["ConvModule_1"], bs["ConvModule_1"] = seq_convmodule(f"{r}.1")
+                proj_conv, proj_bn = f"{r}.2", f"{r}.3"
+                proj_name = "ConvModule_2"
+            else:
+                bp["ConvModule_0"], bs["ConvModule_0"] = seq_convmodule(f"{r}.0")
+                proj_conv, proj_bn = f"{r}.1", f"{r}.2"
+                proj_name = "ConvModule_1"
+            bn_p, bn_s = t_bn(sd, proj_bn)
+            bp[proj_name] = {"Conv_0": t_conv(sd, proj_conv),
+                             "BatchNorm_0": {"BatchNorm_0": bn_p}}
+            bs[proj_name] = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
+            p[f"block{idx}"] = bp
+            s[f"block{idx}"] = bs
+    return {"params": p, "batch_stats": s}
+
+
 def convert_iformer(sd: Dict, variant: str) -> Dict:
     """Reference iFormer (iformer.py) -> flax params for backbones/iformer
     (use_reparam=False: the reference's literal plain-dw structure).
@@ -612,6 +659,8 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
 
         _, depths = EFFICIENTVIT_LARGE_SETTINGS[name.split("_", 1)[1]]
         return convert_efficientvit_l(sd, depths)
+    if name == "mobilenetv2":
+        return convert_mobilenetv2(sd)
     if name.startswith("iformer_"):
         return convert_iformer(sd, name.split("_", 1)[1])
     if name.startswith("crossformer_"):
@@ -629,7 +678,7 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
     raise KeyError(
         f"no torch converter for backbone family of {backbone_name!r}; "
         "available: mit_*, convnext_*, convnextv2_*, efficientvit_b*/l*, "
-        "iformer_*, crossformer_*, convformer_*"
+        "mobilenetv2, iformer_*, crossformer_*, convformer_*"
     )
 
 
