@@ -543,6 +543,93 @@ def convert_mobilenetv2(sd: Dict) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def _t_bn_raw(sd, prefix) -> Tuple[Dict, Dict]:
+    """torch BatchNorm -> a bare flax nn.BatchNorm (no wrapper nesting)."""
+    return t_bn(sd, prefix)
+
+
+def convert_casvit(sd: Dict, layers) -> Dict:
+    """Reference CAS-ViT / RCViT (casvit.py) -> flax params for
+    backbones/casvit.RCViT.
+
+    Layout: patch_embed.{0,1,3,4} stem conv/BN pairs; network even indices =
+    stages of AdditiveBlocks, odd = Embedding (proj conv + BN); per-stage
+    fork_feat out-norms norm{0,2,4,6}.
+    """
+    p: Dict = {}
+    s: Dict = {}
+
+    def convmodule(conv_pref, bn_pref):
+        bn_p, bn_s = t_bn(sd, bn_pref)
+        return (
+            {"Conv_0": t_conv(sd, conv_pref),
+             "BatchNorm_0": {"BatchNorm_0": bn_p}},
+            {"BatchNorm_0": {"BatchNorm_0": bn_s}},
+        )
+
+    p["stem1"], s["stem1"] = convmodule("patch_embed.0", "patch_embed.1")
+    p["stem2"], s["stem2"] = convmodule("patch_embed.3", "patch_embed.4")
+
+    def spatial_op(pref):
+        cm_p, cm_s = convmodule(f"{pref}.block.0", f"{pref}.block.1")
+        return (
+            {"ConvModule_0": cm_p, "Conv_0": t_conv(sd, f"{pref}.block.3")},
+            {"ConvModule_0": cm_s},
+        )
+
+    for st in range(4):
+        ni = 2 * st
+        for j in range(layers[st]):
+            r = f"network.{ni}.{j}"
+            n1_p, n1_s = t_bn(sd, f"{r}.norm1")
+            n2_p, n2_s = t_bn(sd, f"{r}.norm2")
+            qs_p, qs_s = spatial_op(f"{r}.attn.oper_q.0")
+            ks_p, ks_s = spatial_op(f"{r}.attn.oper_k.0")
+            lp_bn_p, lp_bn_s = t_bn(sd, f"{r}.local_perception.network.1")
+            blk_p = {
+                "Conv_0": t_conv(sd, f"{r}.local_perception.network.0"),
+                "BatchNorm_0": lp_bn_p,
+                "Conv_1": t_conv(sd, f"{r}.local_perception.network.2"),
+                "Conv_2": t_conv(sd, f"{r}.local_perception.network.4"),
+                "norm1": n1_p,
+                "attn": {
+                    "qkv": t_conv(sd, f"{r}.attn.qkv"),
+                    "q_spatial": qs_p,
+                    "q_channel": {"Conv_0": t_conv(sd, f"{r}.attn.oper_q.1.block.1")},
+                    "k_spatial": ks_p,
+                    "k_channel": {"Conv_0": t_conv(sd, f"{r}.attn.oper_k.1.block.1")},
+                    "dwc": t_conv(sd, f"{r}.attn.dwc"),
+                    "proj": t_conv(sd, f"{r}.attn.proj"),
+                },
+                "norm2": n2_p,
+                "Dense_0": {
+                    "kernel": np.asarray(sd[f"{r}.mlp.fc1.weight"])[:, :, 0, 0].T,
+                    "bias": np.asarray(sd[f"{r}.mlp.fc1.bias"]),
+                },
+                "Dense_1": {
+                    "kernel": np.asarray(sd[f"{r}.mlp.fc2.weight"])[:, :, 0, 0].T,
+                    "bias": np.asarray(sd[f"{r}.mlp.fc2.bias"]),
+                },
+            }
+            blk_s = {
+                "BatchNorm_0": lp_bn_s,
+                "norm1": n1_s,
+                "norm2": n2_s,
+                "attn": {"q_spatial": qs_s, "k_spatial": ks_s},
+            }
+            p[f"block{st}_{j}"] = blk_p
+            s[f"block{st}_{j}"] = blk_s
+        on_p, on_s = t_bn(sd, f"norm{ni}")
+        p[f"out_norm{st}"] = on_p
+        s[f"out_norm{st}"] = on_s
+        if st < 3:
+            p[f"down{st + 1}"] = t_conv(sd, f"network.{ni + 1}.proj")
+            dn_p, dn_s = t_bn(sd, f"network.{ni + 1}.norm")
+            p[f"down_norm{st + 1}"] = dn_p
+            s[f"down_norm{st + 1}"] = dn_s
+    return {"params": p, "batch_stats": s}
+
+
 def convert_iformer(sd: Dict, variant: str) -> Dict:
     """Reference iFormer (iformer.py) -> flax params for backbones/iformer
     (use_reparam=False: the reference's literal plain-dw structure).
@@ -661,6 +748,12 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
         return convert_efficientvit_l(sd, depths)
     if name == "mobilenetv2":
         return convert_mobilenetv2(sd)
+    if name.startswith("rcvit_"):
+        from segmentation_factory_tpu.models.backbones.casvit import (
+            CASVIT_SETTINGS,
+        )
+
+        return convert_casvit(sd, CASVIT_SETTINGS[name.split("_", 1)[1]][0])
     if name.startswith("iformer_"):
         return convert_iformer(sd, name.split("_", 1)[1])
     if name.startswith("crossformer_"):
@@ -678,7 +771,7 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
     raise KeyError(
         f"no torch converter for backbone family of {backbone_name!r}; "
         "available: mit_*, convnext_*, convnextv2_*, efficientvit_b*/l*, "
-        "mobilenetv2, iformer_*, crossformer_*, convformer_*"
+        "mobilenetv2, rcvit_*, iformer_*, crossformer_*, convformer_*"
     )
 
 

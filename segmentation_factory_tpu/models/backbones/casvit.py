@@ -131,7 +131,11 @@ class RCViT(nn.Module):
             for j in range(self.layers[s]):
                 x = AdditiveBlock(drop_path=dprs[s][j], dtype=self.dtype,
                                   name=f"block{s}_{j}")(x, train=train)
-            feats.append(x)
+            # fork_feat out-norms (ref casvit.py:216-221: BN per stage output)
+            feats.append(
+                nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name=f"out_norm{s}")(x)
+            )
         return feats
 
 

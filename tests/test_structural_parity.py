@@ -103,8 +103,10 @@ CASES = [
      ("head", "norm."), {}),
     ("caformer_s18", "metaformer", "caformer_s18", {},
      ("head", "norm."), {}),
+    # out-norms (norm0/2/4/6) are now part of our RCViT, so only the
+    # classifier-side pieces are excluded
     ("rcvit_xs", "casvit", "rcvit_xs", {},
-     ("head", "norm", "dist_head"), {}),
+     ("head", "dist_head"), {}),
     ("mobilenetv2", "mobilenetv2", "MobileNetV2", {},
      ("classifier", "head"), {}),
     # mobilenetv3 deliberately NOT compared: the reference's "MobileNetV3"
