@@ -390,13 +390,15 @@ def _t_ln_scale(sd, prefix) -> Dict:
     return {"scale": np.asarray(sd[f"{prefix}.weight"])}
 
 
-def convert_convformer(sd: Dict, depths) -> Dict:
-    """Reference ConvFormer (metaformer.py, token_mixers=SepConv) -> flax
-    params for backbones/metaformer.MetaFormer.
+def convert_convformer(sd: Dict, depths, mixers=("sepconv",) * 4) -> Dict:
+    """Reference ConvFormer/CAFormer (metaformer.py, token_mixers=SepConv or
+    [SepConv, SepConv, Attention, Attention]) -> flax params for
+    backbones/metaformer.MetaFormer.
 
     Layout: downsample_layers.0.{conv,post_norm}; downsample_layers.i.
     {pre_norm,conv}; stages.{i}.{j}.{norm1, token_mixer.{pwconv1,act1,dwconv,
-    pwconv2}, norm2, mlp.{fc1,act,fc2}, res_scale1/2 (stages 3-4)}.
+    pwconv2} (SepConv, ref :356-389) or token_mixer.{qkv,proj} (Attention,
+    ref :244-283), norm2, mlp.{fc1,act,fc2}, res_scale1/2 (stages 3-4)}.
     """
 
     def star(prefix):
@@ -415,15 +417,22 @@ def convert_convformer(sd: Dict, depths) -> Dict:
     for i in range(4):
         for j in range(depths[i]):
             r = f"stages.{i}.{j}"
-            dw = np.asarray(sd[f"{r}.token_mixer.dwconv.weight"])
-            blk: Dict = {
-                "norm1": _t_ln_scale(sd, f"{r}.norm1"),
-                "token_mixer": {
+            if mixers[i] == "attention":
+                mixer_p = {
+                    "Dense_0": t_linear(sd, f"{r}.token_mixer.qkv"),
+                    "Dense_1": t_linear(sd, f"{r}.token_mixer.proj"),
+                }
+            else:
+                dw = np.asarray(sd[f"{r}.token_mixer.dwconv.weight"])
+                mixer_p = {
                     "pw1": t_linear(sd, f"{r}.token_mixer.pwconv1"),
                     "act1": star(f"{r}.token_mixer.act1"),
                     "dw": {"kernel": dw.transpose(2, 3, 1, 0)},
                     "pw2": t_linear(sd, f"{r}.token_mixer.pwconv2"),
-                },
+                }
+            blk: Dict = {
+                "norm1": _t_ln_scale(sd, f"{r}.norm1"),
+                "token_mixer": mixer_p,
                 "norm2": _t_ln_scale(sd, f"{r}.norm2"),
                 "Dense_0": t_linear(sd, f"{r}.mlp.fc1"),
                 "mlp_act": star(f"{r}.mlp.act"),
@@ -756,22 +765,37 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
         return convert_casvit(sd, CASVIT_SETTINGS[name.split("_", 1)[1]][0])
     if name.startswith("iformer_"):
         return convert_iformer(sd, name.split("_", 1)[1])
-    if name.startswith("crossformer_"):
+    if name.startswith("crossformer_") or name.startswith("crossformerpp_"):
         from segmentation_factory_tpu.models.backbones.crossformer import (
             CROSSFORMER_SETTINGS,
+            CROSSFORMERPP_SETTINGS,
         )
 
-        depths = CROSSFORMER_SETTINGS[name.split("_", 1)[1]][1]
+        # the reference CrossFormerPP graph is identical to CrossFormer
+        # (crossformer_pp.py is a verbatim copy with new factory configs),
+        # so one converter serves both families
+        table = (CROSSFORMERPP_SETTINGS if name.startswith("crossformerpp_")
+                 else CROSSFORMER_SETTINGS)
+        depths = table[name.split("_", 1)[1]][1]
         return {"params": convert_crossformer(sd, depths), "batch_stats": {}}
-    if name.startswith("convformer_"):
+    if name.startswith("convformer_") or name.startswith("caformer_"):
         from segmentation_factory_tpu.models.backbones.metaformer import _DEPTHS
 
         key = "".join(ch for ch in name.split("_")[-1] if ch.isdigit())
-        return {"params": convert_convformer(sd, _DEPTHS[key]), "batch_stats": {}}
+        mixers = (
+            ("sepconv", "sepconv", "attention", "attention")
+            if name.startswith("caformer_")
+            else ("sepconv",) * 4
+        )
+        return {
+            "params": convert_convformer(sd, _DEPTHS[key], mixers),
+            "batch_stats": {},
+        }
     raise KeyError(
         f"no torch converter for backbone family of {backbone_name!r}; "
         "available: mit_*, convnext_*, convnextv2_*, efficientvit_b*/l*, "
-        "mobilenetv2, rcvit_*, iformer_*, crossformer_*, convformer_*"
+        "mobilenetv2, rcvit_*, iformer_*, crossformer_*, convformer_*, "
+        "caformer_*"
     )
 
 

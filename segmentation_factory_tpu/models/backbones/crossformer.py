@@ -288,7 +288,13 @@ def _make_crossformer(variant: str, pp: bool):
     settings = CROSSFORMERPP_SETTINGS if pp else CROSSFORMER_SETTINGS
 
     def factory(dtype: Any = jnp.bfloat16, drop_path_rate: float = 0.1,
-                group_type: str = "constant", cel: bool = False, **kwargs):
+                group_type: str = "constant", cel: bool = False,
+                use_cpe: bool = False, **kwargs):
+        # NB: the reference's CrossFormerPP factories (crossformer_pp.py:784-823)
+        # differ from CrossFormer ONLY in hyperparameters — the CPE machinery
+        # exists in both files but no factory enables it (use_cpe defaults
+        # False, :217). We match that default; pass use_cpe=True for the
+        # paper's conditional-position-encoding variant.
         dim, depths, heads, groups, intervals = settings[variant]
         if group_type == "linear":
             groups = linear_group_schedule(depths)
@@ -298,8 +304,8 @@ def _make_crossformer(variant: str, pp: bool):
         return (
             CrossFormer(
                 embed_dim=dim, depths=depths, num_heads=heads, group_sizes=groups,
-                intervals=intervals, drop_path_rate=drop_path_rate, use_cpe=pp,
-                dtype=dtype, **kwargs,
+                intervals=intervals, drop_path_rate=drop_path_rate,
+                use_cpe=use_cpe, dtype=dtype, **kwargs,
             ),
             [dim, dim * 2, dim * 4, dim * 8],
         )

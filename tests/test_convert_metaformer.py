@@ -97,3 +97,53 @@ def test_convformer_s18_torch_parity(ref_metaformer):
         np.testing.assert_allclose(
             np.asarray(fj), want, rtol=1e-3, atol=1e-3, err_msg=f"stage {i}"
         )
+
+
+def test_caformer_s18_torch_parity(ref_metaformer):
+    """Cross-framework parity: CAFormer-S18 (SepConv stages 1-2, vanilla
+    softmax Attention stages 3-4, ref metaformer.py:244-283) — validates the
+    attention-mixer qkv/proj conversion and the fused SRA path at M == N."""
+    import torch
+
+    torch.manual_seed(1)
+    depths = [3, 3, 9, 3]
+    tb = ref_metaformer.caformer_s18(drop_path_rate=0.0).eval()
+    with torch.no_grad():
+        for name, prm in tb.named_parameters():
+            if name.endswith((".act1.scale", ".act.scale")):
+                prm.uniform_(0.8, 1.2)
+            if name.endswith((".act1.bias", ".act.bias")):
+                prm.uniform_(-0.2, 0.2)
+            if "res_scale" in name:
+                prm.uniform_(0.9, 1.1)
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    from segmentation_factory_tpu.convert import convert_backbone
+
+    jb, ch = get_backbone("caformer_s18", dtype=jnp.float32,
+                          drop_path_rate=0.0)
+    tree = convert_backbone(sd, "caformer_s18")
+    params = tree["params"]
+
+    x = np.random.default_rng(1).normal(size=(1, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = tb(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    init = jb.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    assert jax.tree_util.tree_structure(init["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(jnp.asarray, params)
+        )
+    ), "converted CAFormer param-tree structure mismatch"
+
+    feats_j = jb.apply({"params": params}, jnp.asarray(x), train=False)
+    for i, (ft, fj) in enumerate(zip(feats_t, feats_j)):
+        want = ft.numpy()
+        if want.shape[1] == fj.shape[-1]:
+            want = want.transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(fj), want, rtol=2e-3, atol=2e-3, err_msg=f"stage {i}"
+        )
