@@ -709,6 +709,85 @@ def convert_iformer(sd: Dict, variant: str) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def _t_convnormact(sd, prefix) -> Tuple[Dict, Dict]:
+    """timm ConvNormAct (.conv + .bn BatchNormAct2d) -> our ConvModule."""
+    bn_p, bn_s = t_bn(sd, f"{prefix}.bn")
+    params = {
+        "Conv_0": t_conv(sd, f"{prefix}.conv"),
+        "BatchNorm_0": {"BatchNorm_0": bn_p},
+    }
+    stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
+    return params, stats
+
+
+def _t_conv_bn_pair(sd, conv_key, bn_key) -> Tuple[Dict, Dict]:
+    """A bare (create_conv2d, BatchNormAct2d) pair -> our ConvModule."""
+    bn_p, bn_s = t_bn(sd, bn_key)
+    params = {
+        "Conv_0": t_conv(sd, conv_key),
+        "BatchNorm_0": {"BatchNorm_0": bn_p},
+    }
+    stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
+    return params, stats
+
+
+def convert_mobilenetv4(sd: Dict, variant: str) -> Dict:
+    """Reference (timm-fork) MobileNetV4 conv-variant state dict -> flax
+    params for backbones/mobilenetv4.MobileNetV4.
+
+    Layout (ref mobilenetv4.py:104-121 + mobilenetv4_blocks.py):
+    conv_stem/bn1; blocks.0.0 EdgeResidual (conv_exp/bn1, conv_pwl/bn2);
+    blocks.{1,2,3}.j UniversalInvertedResidual (dw_start/pw_exp/dw_mid/pw_proj
+    ConvNormActs, layer_scale only for hybrids); blocks.4.0 ConvBnAct 960
+    (classifier pipe — dropped: our backbone returns the standard 4-level
+    stride-4..32 pyramid instead of the reference's
+    [stem/2, ../4, ../8, ../16, 960/32] feature list; documented divergence).
+    """
+    from segmentation_factory_tpu.models.backbones.mobilenetv4 import MNV4_SPECS
+
+    if "hybrid" in variant:
+        raise KeyError(
+            "mobilenetv4 hybrid variants need timm's MultiQueryAttention2d to "
+            "produce a reference state dict; conv variants only")
+    spec = MNV4_SPECS[variant]
+    p: Dict = {}
+    s: Dict = {}
+
+    p["conv0_0"], s["conv0_0"] = _t_conv_bn_pair(sd, "conv_stem", "bn1")
+
+    for stage, layer_name in enumerate(("layer1", "layer2", "layer3", "layer4")):
+        kind, rows = spec[layer_name]
+        for j, row in enumerate(rows):
+            r = f"blocks.{stage}.{j}"
+            name = f"{layer_name}_{j}"
+            if kind == "fused_ib":
+                c0_p, c0_s = _t_conv_bn_pair(sd, f"{r}.conv_exp", f"{r}.bn1")
+                c1_p, c1_s = _t_conv_bn_pair(sd, f"{r}.conv_pwl", f"{r}.bn2")
+                p[name] = {"ConvModule_0": c0_p, "ConvModule_1": c1_p}
+                s[name] = {"ConvModule_0": c0_s, "ConvModule_1": c1_s}
+            elif kind == "convbn":
+                p[name], s[name] = _t_conv_bn_pair(sd, f"{r}.conv", f"{r}.bn1")
+            elif kind == "uib":
+                _, _, sdk, mdk = row[:4]
+                blk_p: Dict = {}
+                blk_s: Dict = {}
+                if sdk:
+                    blk_p["start_dw"], blk_s["start_dw"] = _t_convnormact(
+                        sd, f"{r}.dw_start")
+                blk_p["expand"], blk_s["expand"] = _t_convnormact(
+                    sd, f"{r}.pw_exp")
+                if mdk:
+                    blk_p["middle_dw"], blk_s["middle_dw"] = _t_convnormact(
+                        sd, f"{r}.dw_mid")
+                blk_p["project"], blk_s["project"] = _t_convnormact(
+                    sd, f"{r}.pw_proj")
+                if f"{r}.layer_scale.gamma" in sd:
+                    blk_p["layer_scale"] = np.asarray(sd[f"{r}.layer_scale.gamma"])
+                p[name] = blk_p
+                s[name] = blk_s
+    return {"params": p, "batch_stats": s}
+
+
 def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
     """Dispatch a reference BACKBONE state dict to the right converter
     (the `--pretrained_backbone` flow, ref build_models.py:56-60 which
@@ -757,6 +836,11 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
         return convert_efficientvit_l(sd, depths)
     if name == "mobilenetv2":
         return convert_mobilenetv2(sd)
+    if name.startswith("mobilenetv4_"):
+        variant = name[len("mobilenetv4_"):]
+        if variant == "samll":  # the reference MODEL_SPECS typo alias
+            variant = "small"
+        return convert_mobilenetv4(sd, variant)
     if name.startswith("rcvit_"):
         from segmentation_factory_tpu.models.backbones.casvit import (
             CASVIT_SETTINGS,

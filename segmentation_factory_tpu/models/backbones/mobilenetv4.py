@@ -151,7 +151,12 @@ MNV4_SPECS = {
 
 class UIB(nn.Module):
     """Universal Inverted Bottleneck (ref mobilenetv4_blocks.py:317):
-    optional start dw -> 1x1 expand -> optional middle dw (stride) -> 1x1 project."""
+    optional start dw -> 1x1 expand -> optional middle dw (stride) -> 1x1 project.
+
+    ``use_layer_scale`` mirrors the reference's layer_scale_init_value: 1e-5
+    for hybrid variants, None (no scale) for conv variants
+    (ref mobilenetv4.py:465 vs :569).
+    """
 
     out_ch: int
     start_dw_k: int
@@ -159,6 +164,8 @@ class UIB(nn.Module):
     middle_down: bool
     stride: int
     expand: float
+    use_layer_scale: bool = False
+    act: str = "relu"
     dtype: Any = None
 
     @nn.compact
@@ -166,24 +173,26 @@ class UIB(nn.Module):
         c = x.shape[-1]
         y = x
         if self.start_dw_k:
-            s = self.stride if not self.middle_down else 1
+            s = self.stride if not self.middle_dw_k else 1
             y = ConvModule(c, self.start_dw_k, strides=s, padding=self.start_dw_k // 2,
                            groups=c, norm="bn", act=None, dtype=self.dtype,
                            name="start_dw")(y, train=train)
         mid = int(c * self.expand)
-        y = ConvModule(mid, 1, norm="bn", act="relu", dtype=self.dtype,
+        y = ConvModule(mid, 1, norm="bn", act=self.act, dtype=self.dtype,
                        name="expand")(y, train=train)
         if self.middle_dw_k:
             s = self.stride if self.middle_down else 1
             y = ConvModule(mid, self.middle_dw_k, strides=s,
                            padding=self.middle_dw_k // 2, groups=mid, norm="bn",
-                           act="relu", dtype=self.dtype, name="middle_dw")(y, train=train)
+                           act=self.act, dtype=self.dtype, name="middle_dw")(y, train=train)
         y = ConvModule(self.out_ch, 1, norm="bn", act=None, dtype=self.dtype,
                        name="project")(y, train=train)
         if self.stride == 1 and c == self.out_ch:
-            gamma = self.param("layer_scale", nn.initializers.constant(1e-5),
-                               (self.out_ch,))
-            return x + y * gamma
+            if self.use_layer_scale:
+                gamma = self.param("layer_scale",
+                                   nn.initializers.constant(1e-5), (self.out_ch,))
+                return x + y * gamma
+            return x + y
         return y
 
 
@@ -230,19 +239,22 @@ class MobileMQA(nn.Module):
 
 
 class FusedIB(nn.Module):
-    """3x3 fused expand + 1x1 project (ref mobilenetv4_blocks.py:635)."""
+    """3x3 fused expand + 1x1 project (EdgeResidual,
+    ref mobilenetv4_blocks.py:635-707: act after the expand conv only — the
+    pointwise-linear projection's bn2 has apply_act=False)."""
 
     out_ch: int
     stride: int
     expand: float
+    act: str = "relu"
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         mid = int(x.shape[-1] * self.expand)
-        y = ConvModule(mid, 3, strides=self.stride, padding=1, norm="bn", act="relu",
-                       dtype=self.dtype)(x, train=train)
-        return ConvModule(self.out_ch, 1, norm="bn", act="relu", dtype=self.dtype)(
+        y = ConvModule(mid, 3, strides=self.stride, padding=1, norm="bn",
+                       act=self.act, dtype=self.dtype)(x, train=train)
+        return ConvModule(self.out_ch, 1, norm="bn", act=None, dtype=self.dtype)(
             y, train=train
         )
 
@@ -254,6 +266,10 @@ class MobileNetV4(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         spec = MNV4_SPECS[self.variant]
+        hybrid = "hybrid" in self.variant
+        # ref act selection (mobilenetv4.py:467,:646): relu everywhere except
+        # hybrid_large which uses gelu
+        act = "gelu_exact" if self.variant == "hybrid_large" else "relu"
         feats = []
         for layer_name in ("conv0", "layer1", "layer2", "layer3", "layer4"):
             kind, rows = spec[layer_name]
@@ -262,14 +278,16 @@ class MobileNetV4(nn.Module):
                 if kind == "convbn":
                     _, out, k, s = row
                     x = ConvModule(out, k, strides=s, padding=k // 2, norm="bn",
-                                   act="relu", dtype=self.dtype, name=name)(
+                                   act=act, dtype=self.dtype, name=name)(
                                        x, train=train)
                 elif kind == "fused_ib":
                     _, out, s, e, _ = row
-                    x = FusedIB(out, s, e, dtype=self.dtype, name=name)(x, train=train)
+                    x = FusedIB(out, s, e, act=act, dtype=self.dtype, name=name)(
+                        x, train=train)
                 elif kind == "uib":
                     _, out, sdk, mdk, mdown, s, e = row[:7]
-                    x = UIB(out, sdk, mdk, mdown, s, e, dtype=self.dtype, name=name)(
+                    x = UIB(out, sdk, mdk, mdown, s, e, use_layer_scale=hybrid,
+                            act=act, dtype=self.dtype, name=name)(
                         x, train=train
                     )
                     if len(row) > 7:
