@@ -709,6 +709,72 @@ def convert_iformer(sd: Dict, variant: str) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def convert_efficientvitseg(sd: Dict, variant: str) -> Dict:
+    """Reference EfficientViTSeg full model (efficientViTSeg.py:110-120:
+    .backbone + .head SegHead(DAGBlock)) -> flax params for our
+    SegmentationModel('efficientvit_<variant>', 'efficientvitseg_<variant>').
+
+    Head layout (ref :33-107): input_ops.[0,1,2] <- [stage4, stage3, stage2]
+    (ConvLayer, the first two wrapped with UpSample in an OpSequential);
+    middle.op_list.i = ResidualBlock(main=MBConv|FusedMBConv);
+    output_ops.0.op_list = [final-expand ConvLayer (b-series only),
+    classifier 1x1 conv w/ bias]. Our head fuses feats[-3:] in ascending
+    stride order, so input{i} <- input_ops.{2-i}.
+    """
+    from segmentation_factory_tpu.models.backbones.efficientvit import (
+        EFFICIENTVIT_SETTINGS,
+        EFFICIENTVIT_LARGE_SETTINGS,
+    )
+
+    bsd = {k[len("backbone."):]: v for k, v in sd.items()
+           if k.startswith("backbone.")}
+    if variant.startswith("l"):
+        _, depths = EFFICIENTVIT_LARGE_SETTINGS[variant]
+        bb = convert_efficientvit_l(bsd, depths)
+        middle_op = "fmbconv"
+        final_expand = False
+    else:
+        _, depths, head_dim = EFFICIENTVIT_SETTINGS[variant]
+        bb = convert_efficientvit_b(bsd, depths, head_dim)
+        middle_op = "mbconv"
+        final_expand = True
+
+    hp: Dict = {}
+    hs: Dict = {}
+    for i in range(3):
+        r = f"head.input_ops.{2 - i}"
+        if f"{r}.conv.weight" not in sd:  # wrapped in OpSequential w/ UpSample
+            r = f"{r}.op_list.0"
+        _evit_merge(hp, hs, f"input{i}", t_convlayer(sd, r))
+    j = 0
+    while f"head.middle.op_list.{j}.main.point_conv.conv.weight" in sd:
+        conv = _evit_mbconv if middle_op == "mbconv" else _evit_fmbconv
+        # b0's first middle block is a depthwise DSConv-shaped MBConv without
+        # the inverted expand; detect by key presence
+        if (middle_op == "mbconv"
+                and f"head.middle.op_list.{j}.main.inverted_conv.conv.weight"
+                not in sd):
+            conv = _evit_dsconv
+        _evit_merge(hp, hs, f"middle{j}",
+                    conv(sd, f"head.middle.op_list.{j}.main"))
+        j += 1
+    out = "head.output_ops.0.op_list"
+    if final_expand:
+        _evit_merge(hp, hs, "final_expand", t_convlayer(sd, f"{out}.0"))
+        cls = f"{out}.1"
+    else:
+        cls = f"{out}.0" if f"{out}.0.conv.weight" in sd else f"{out}.1"
+    w = np.asarray(sd[f"{cls}.conv.weight"])  # (C, E, 1, 1)
+    hp["conv_seg"] = {
+        "kernel": w[:, :, 0, 0].T,
+        "bias": np.asarray(sd[f"{cls}.conv.bias"]),
+    }
+    return {
+        "params": {"backbone": bb["params"], "decode_head": hp},
+        "batch_stats": {"backbone": bb["batch_stats"], "decode_head": hs},
+    }
+
+
 def _t_convnormact(sd, prefix) -> Tuple[Dict, Dict]:
     """timm ConvNormAct (.conv + .bn BatchNormAct2d) -> our ConvModule."""
     bn_p, bn_s = t_bn(sd, f"{prefix}.bn")

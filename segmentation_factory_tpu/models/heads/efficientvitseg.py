@@ -20,7 +20,10 @@ from segmentation_factory_tpu.models.backbones.efficientvit import (
     FusedMBConv,
     MBConv,
 )
-from segmentation_factory_tpu.models.layers import ConvModule, resize_like
+from segmentation_factory_tpu.models.layers import (
+    ConvModule,
+    resize_torch_bicubic,
+)
 from segmentation_factory_tpu.registry import register_head
 
 
@@ -47,7 +50,9 @@ class EfficientViTSegHead(nn.Module):
                 self.embed_dim, 1, norm="bn", act=None, dtype=self.dtype,
                 name=f"input{i}",
             )(f, train=train)
-            y = resize_like(y, target)
+            # ref UpSampleLayer defaults to bicubic, align_corners=False
+            # with torch's a=-0.75 kernel (ops.py:108-128)
+            y = resize_torch_bicubic(y, (target.shape[1], target.shape[2]))
             fused = y if fused is None else fused + y
         # middle residual chain (ref :63-84)
         for i in range(self.middle_depth):

@@ -190,6 +190,43 @@ def resize_align_corners(x: Array, size: Tuple[int, int]) -> Array:
     return out.astype(x.dtype)
 
 
+def _bicubic_weights(n_out: int, n_in: int, a: float = -0.75) -> Array:
+    """(n_out, n_in) cubic interpolation matrix, half-pixel centers
+    (torch ``align_corners=False``) with torch's Keys kernel a=-0.75
+    (jax.image uses a=-0.5, which visibly diverges). Border handling is
+    index clamping, matching upsample_bicubic2d."""
+    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    base = jnp.floor(pos).astype(jnp.int32)
+    w = jnp.zeros((n_out, n_in), jnp.float32)
+    rows = jnp.arange(n_out)
+    for o in (-1, 0, 1, 2):
+        s = jnp.abs(pos - (base + o).astype(jnp.float32))
+        k = jnp.where(
+            s <= 1.0,
+            (a + 2.0) * s**3 - (a + 3.0) * s**2 + 1.0,
+            jnp.where(s < 2.0, a * s**3 - 5.0 * a * s**2 + 8.0 * a * s - 4.0 * a, 0.0),
+        )
+        idx = jnp.clip(base + o, 0, n_in - 1)
+        w = w.at[rows, idx].add(k)
+    return w
+
+
+def resize_torch_bicubic(x: Array, size: Tuple[int, int]) -> Array:
+    """Bicubic resize matching torch F.interpolate(mode='bicubic',
+    align_corners=False) exactly (NHWC), as two separable matmuls —
+    MXU-friendly. Used by the EfficientViTSeg head (ref UpSampleLayer
+    default mode='bicubic', models/layers/ops.py:108-128)."""
+    h, w = x.shape[1], x.shape[2]
+    if (h, w) == tuple(size):
+        return x
+    f32 = x.astype(jnp.float32)
+    wh = _bicubic_weights(size[0], h)
+    ww = _bicubic_weights(size[1], w)
+    out = jnp.einsum("oh,bhwc->bowc", wh, f32)
+    out = jnp.einsum("pw,bowc->bopc", ww, out)
+    return out.astype(x.dtype)
+
+
 def drop_path_rates(total_rate: float, depths: Sequence[int]) -> list:
     """Per-block linearly increasing stochastic-depth rates (timm convention)."""
     total = sum(depths)
