@@ -709,6 +709,30 @@ def convert_iformer(sd: Dict, variant: str) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def convert_fpnhead(sd: Dict, num_levels: int = 4, prefix: str = "") -> Tuple[Dict, Dict]:
+    """Reference FPNHead (fpn.py:9-38) -> our heads/fpn.FPNHead.
+
+    lateral_convs.i / output_convs.i are ConvModules over the REVERSED
+    pyramid; output_convs.0 is constructed but never used by the reference
+    forward (:29-36 starts at i=1) — dead weights, dropped. conv_seg is a
+    biased 1x1 conv -> Dense.
+    """
+    p: Dict = {}
+    s: Dict = {}
+    for i in range(num_levels):
+        p[f"lateral{i}"], s[f"lateral{i}"] = t_convmodule(
+            sd, f"{prefix}lateral_convs.{i}")
+        if i >= 1:
+            p[f"smooth{i}"], s[f"smooth{i}"] = t_convmodule(
+                sd, f"{prefix}output_convs.{i}")
+    w = np.asarray(sd[f"{prefix}conv_seg.weight"])  # (C, E, 1, 1)
+    p["conv_seg"] = {
+        "kernel": w[:, :, 0, 0].T,
+        "bias": np.asarray(sd[f"{prefix}conv_seg.bias"]),
+    }
+    return p, s
+
+
 def convert_efficientvitseg(sd: Dict, variant: str) -> Dict:
     """Reference EfficientViTSeg full model (efficientViTSeg.py:110-120:
     .backbone + .head SegHead(DAGBlock)) -> flax params for our

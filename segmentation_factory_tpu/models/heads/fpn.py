@@ -12,15 +12,24 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from segmentation_factory_tpu.models.layers import ConvModule, resize_like
+from segmentation_factory_tpu.models.layers import ConvModule, resize, resize_like
 from segmentation_factory_tpu.registry import register_head
 
 
 class FPNHead(nn.Module):
+    """``torch_parity=False`` (default) decodes at the finest feature stride
+    with bilinear top-down fusion — the TPU-first formulation. The reference
+    forward (fpn.py:27-36) instead NEAREST-resizes, adds, then upsamples 2x
+    *after* every add, emitting logits at half the finest stride (stride 2
+    for a stride-4 pyramid) — 4x the decode pixels; ``torch_parity=True``
+    reproduces that exactly (same parameter tree, so converted checkpoints
+    work in either mode)."""
+
     channels: Sequence[int]
     num_classes: int
     embed_dim: int = 128
     dropout: float = 0.1
+    torch_parity: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -30,7 +39,6 @@ class FPNHead(nn.Module):
             self.embed_dim, 1, norm="bn", act="relu", dtype=self.dtype, name="lateral0"
         )(feats[0], train=train)
         for i, f in enumerate(feats[1:], start=1):
-            x = resize_like(x, f)
             lat = ConvModule(
                 self.embed_dim,
                 1,
@@ -39,6 +47,14 @@ class FPNHead(nn.Module):
                 dtype=self.dtype,
                 name=f"lateral{i}",
             )(f, train=train)
+            if self.torch_parity:
+                if x.shape[1:3] != lat.shape[1:3]:
+                    x = resize_like(x, lat, method="nearest")
+                x = x + lat
+                b, h, w, c = x.shape
+                x = resize(x, (2 * h, 2 * w), method="nearest")
+            else:
+                x = resize_like(x, lat) + lat
             x = ConvModule(
                 self.embed_dim,
                 3,
@@ -47,7 +63,7 @@ class FPNHead(nn.Module):
                 act="relu",
                 dtype=self.dtype,
                 name=f"smooth{i}",
-            )(x + lat, train=train)
+            )(x, train=train)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="conv_seg")(
             x.astype(jnp.float32)
