@@ -709,6 +709,56 @@ def convert_iformer(sd: Dict, variant: str) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def _t_seqconvbn(sd, prefix, ci=0, bi=1) -> Tuple[Dict, Dict]:
+    """nn.Sequential(conv@ci, bn@bi, ...) -> our ConvModule."""
+    bn_p, bn_s = t_bn(sd, f"{prefix}.{bi}")
+    params = {
+        "Conv_0": t_conv(sd, f"{prefix}.{ci}"),
+        "BatchNorm_0": {"BatchNorm_0": bn_p},
+    }
+    stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
+    return params, stats
+
+
+def _t_conv1x1_dense(sd, prefix) -> Dict:
+    w = np.asarray(sd[f"{prefix}.weight"])  # (C, E, 1, 1)
+    out = {"kernel": w[:, :, 0, 0].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_deeplabv3(sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference DeepLabV3 head (deeplabv3.py:7-126 + modules/fcn.py) ->
+    our heads/deeplabv3.DeepLabV3Head.
+
+    Layout: head.aspp.{b0,b1..b3 (.block),b4 (.gap)},project; head.block
+    (3x3 conv + bn + relu + dropout + 1x1 cls); auxlayer.block (_FCNHead).
+    Our ASPP branch order matches (1x1, rates, pool, project).
+    """
+    p: Dict = {"aspp": {}}
+    s: Dict = {"aspp": {}}
+
+    def put(name, sub):
+        p["aspp"][name], s["aspp"][name] = sub
+
+    put("ConvModule_0", _t_seqconvbn(sd, "head.aspp.b0"))
+    for i in range(1, 4):
+        put(f"ConvModule_{i}", _t_seqconvbn(sd, f"head.aspp.b{i}.block"))
+    put("ConvModule_4", _t_seqconvbn(sd, "head.aspp.b4.gap", ci=1, bi=2))
+    put("ConvModule_5", _t_seqconvbn(sd, "head.aspp.project"))
+    p["ConvModule_0"], s["ConvModule_0"] = _t_seqconvbn(sd, "head.block")
+    p["conv_seg"] = _t_conv1x1_dense(sd, "head.block.4")
+    if "auxlayer.block.0.weight" in sd:
+        aux_p, aux_s = _t_seqconvbn(sd, "auxlayer.block")
+        p["aux"] = {
+            "ConvModule_0": aux_p,
+            "Dense_0": _t_conv1x1_dense(sd, "auxlayer.block.4"),
+        }
+        s["aux"] = {"ConvModule_0": aux_s}
+    return p, s
+
+
 def convert_fpnhead(sd: Dict, num_levels: int = 4, prefix: str = "") -> Tuple[Dict, Dict]:
     """Reference FPNHead (fpn.py:9-38) -> our heads/fpn.FPNHead.
 

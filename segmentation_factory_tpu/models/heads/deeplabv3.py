@@ -51,23 +51,27 @@ class ASPP(nn.Module):
         )
         branches.append(jnp.broadcast_to(pooled, (x.shape[0], h, w, self.channels)))
         y = jnp.concatenate(branches, axis=-1)
-        return ConvModule(self.channels, 1, norm="bn", act="relu", dtype=self.dtype)(
+        y = ConvModule(self.channels, 1, norm="bn", act="relu", dtype=self.dtype)(
             y, train=train
         )
+        # ref projects through Dropout(0.5) (deeplabv3.py:117)
+        return nn.Dropout(0.5)(y, deterministic=not train)
 
 
 class FCNAuxHead(nn.Module):
-    """conv-BN-ReLU-dropout-1x1 aux head (ref modules/fcn.py:3-16)."""
+    """conv-BN-ReLU-dropout-1x1 aux head (ref modules/fcn.py:3-16).
+    ``channels=None`` uses the reference's in_channels // 4 rule."""
 
-    channels: int
+    channels: int | None
     num_classes: int
     dropout: float = 0.1
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        inter = self.channels if self.channels is not None else x.shape[-1] // 4
         x = ConvModule(
-            self.channels, 3, padding=1, norm="bn", act="relu", dtype=self.dtype
+            inter, 3, padding=1, norm="bn", act="relu", dtype=self.dtype
         )(x, train=train)
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x.astype(jnp.float32))
@@ -95,9 +99,10 @@ class DeepLabV3Head(nn.Module):
             x.astype(jnp.float32)
         )
         if self.use_aux:
-            # always instantiated so init(train=False) creates the aux params
+            # always instantiated so init(train=False) creates the aux params;
+            # width = aux-feature channels // 4 (ref modules/fcn.py:6)
             aux = FCNAuxHead(
-                self.embed_dim // 2, self.num_classes, dtype=self.dtype, name="aux"
+                None, self.num_classes, dtype=self.dtype, name="aux"
             )(feats[-2], train=train)
             if train:
                 return [logits, resize(aux, (logits.shape[1], logits.shape[2]))]
