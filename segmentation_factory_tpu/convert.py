@@ -728,6 +728,15 @@ def _t_conv1x1_dense(sd, prefix) -> Dict:
     return out
 
 
+def convert_maskrcnn_fcn(sd: Dict, layers: int = 4, prefix: str = "") -> Dict:
+    """Reference MaskRCNNHeads (maskrcnn.py:202-227: mask_fcn1..N biased
+    3x3 convs + ReLU) -> our detection.roi_heads.MaskRCNNHeads."""
+    return {
+        f"mask_fcn{i}": t_conv(sd, f"{prefix}mask_fcn{i}")
+        for i in range(1, layers + 1)
+    }
+
+
 def convert_deeplabv3(sd: Dict) -> Tuple[Dict, Dict]:
     """Reference DeepLabV3 head (deeplabv3.py:7-126 + modules/fcn.py) ->
     our heads/deeplabv3.DeepLabV3Head.

@@ -47,3 +47,30 @@ def load_ref(name, path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def preload(full_name, path):
+    """Load a reference file under its dotted name, seeding synthetic parent
+    packages so `from models.x.y import Z` resolves WITHOUT executing the
+    real package __init__ (which drags in timm-dependent files)."""
+    import importlib.util
+
+    install_ref_stubs()
+    parts = full_name.split(".")
+    # top-level 'models' is a NAMESPACE package (no __init__) — let Python
+    # import it for real; seed only the deeper parents whose real __init__
+    # would drag in unavailable deps
+    for i in range(2, len(parts)):
+        pkg = ".".join(parts[:i])
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = []
+            sys.modules[pkg] = m
+    if full_name in sys.modules:
+        return sys.modules[full_name]
+    spec = importlib.util.spec_from_file_location(full_name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full_name] = mod
+    spec.loader.exec_module(mod)
+    setattr(sys.modules[".".join(parts[:-1])], parts[-1], mod)
+    return mod

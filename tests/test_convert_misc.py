@@ -1,0 +1,64 @@
+"""Cross-framework parity for the remaining small reference modules:
+MaskRCNNHeads (the head_dict 'MaskRCNNSegmentationHead' target) and the
+DETR sine position embedding (pure math, no weights)."""
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def stubs():
+    if "tests" not in sys.path:
+        sys.path.insert(0, "tests")
+    from _ref_stubs import load_ref
+
+    return load_ref
+
+
+def test_maskrcnn_fcn_torch_parity(stubs):
+    import torch
+
+    from segmentation_factory_tpu.convert import convert_maskrcnn_fcn
+    from segmentation_factory_tpu.models.detection.roi_heads import MaskRCNNHeads
+
+    from _ref_stubs import preload
+
+    # maskrcnn imports models.heads.faster_rcnn; preload it so the real
+    # models/heads/__init__ (-> every head -> timm) never executes
+    preload("models.heads.faster_rcnn",
+            "/root/reference/models/heads/faster_rcnn.py")
+    ref = stubs("ref_maskrcnn", "/root/reference/models/heads/maskrcnn.py")
+    torch.manual_seed(0)
+    th = ref.MaskRCNNHeads(64, (256, 256, 256, 256), 1).eval()
+    sd = {k: v.detach().numpy() for k, v in th.state_dict().items()}
+    p = convert_maskrcnn_fcn(sd)
+
+    x = np.random.default_rng(0).normal(size=(1, 14, 14, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = th(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    jh = MaskRCNNHeads(256, dtype=jnp.float32)
+    got = jh.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sine_position_encoding_torch_parity(stubs):
+    import torch
+
+    from segmentation_factory_tpu.models.modules.position_encoding import (
+        sine_position_encoding,
+    )
+
+    ref = stubs("ref_pe", "/root/reference/models/modules/position_encoding.py")
+    pe = ref.PositionEmbeddingSine(num_pos_feats=128, normalize=True)
+    mask = torch.zeros(1, 12, 20, dtype=torch.bool)  # no padding
+    with torch.no_grad():
+        want = pe(mask).numpy()  # (1, 256, H, W)
+    got = np.asarray(sine_position_encoding(12, 20, num_pos_feats=128))
+    np.testing.assert_allclose(
+        got.transpose(2, 0, 1), want[0], rtol=1e-5, atol=1e-5
+    )
