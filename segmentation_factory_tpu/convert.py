@@ -728,6 +728,44 @@ def _t_conv1x1_dense(sd, prefix) -> Dict:
     return out
 
 
+def t_mha(sd: Dict, prefix: str) -> Dict:
+    """torch nn.MultiheadAttention (packed in_proj [q;k;v]) -> our
+    modules/transformer.MultiheadAttention {q,k,v,proj} Denses."""
+    w = np.asarray(sd[f"{prefix}.in_proj_weight"])  # (3E, E)
+    b = np.asarray(sd[f"{prefix}.in_proj_bias"])
+    e = w.shape[1]
+    out = {}
+    for i, name in enumerate(("q", "k", "v")):
+        out[name] = {"kernel": w[i * e:(i + 1) * e].T,
+                     "bias": b[i * e:(i + 1) * e]}
+    out["proj"] = t_linear(sd, f"{prefix}.out_proj")
+    return out
+
+
+def convert_detr_encoder_layer(sd: Dict, prefix: str = "") -> Dict:
+    """Reference TransformerEncoderLayer (transformer.py:154-228) -> ours."""
+    return {
+        "MultiheadAttention_0": t_mha(sd, f"{prefix}self_attn"),
+        "Dense_0": t_linear(sd, f"{prefix}linear1"),
+        "Dense_1": t_linear(sd, f"{prefix}linear2"),
+        "LayerNorm_0": t_ln(sd, f"{prefix}norm1"),
+        "LayerNorm_1": t_ln(sd, f"{prefix}norm2"),
+    }
+
+
+def convert_detr_decoder_layer(sd: Dict, prefix: str = "") -> Dict:
+    """Reference TransformerDecoderLayer (transformer.py:230-334) -> ours."""
+    return {
+        "self_attn": t_mha(sd, f"{prefix}self_attn"),
+        "cross_attn": t_mha(sd, f"{prefix}multihead_attn"),
+        "Dense_0": t_linear(sd, f"{prefix}linear1"),
+        "Dense_1": t_linear(sd, f"{prefix}linear2"),
+        "LayerNorm_0": t_ln(sd, f"{prefix}norm1"),
+        "LayerNorm_1": t_ln(sd, f"{prefix}norm2"),
+        "LayerNorm_2": t_ln(sd, f"{prefix}norm3"),
+    }
+
+
 def convert_maskrcnn_fcn(sd: Dict, layers: int = 4, prefix: str = "") -> Dict:
     """Reference MaskRCNNHeads (maskrcnn.py:202-227: mask_fcn1..N biased
     3x3 convs + ReLU) -> our detection.roi_heads.MaskRCNNHeads."""

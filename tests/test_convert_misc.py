@@ -62,3 +62,73 @@ def test_sine_position_encoding_torch_parity(stubs):
     np.testing.assert_allclose(
         got.transpose(2, 0, 1), want[0], rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("pre_norm", [False, True])
+def test_detr_encoder_layer_torch_parity(stubs, pre_norm):
+    import torch
+
+    from segmentation_factory_tpu.convert import convert_detr_encoder_layer
+    from segmentation_factory_tpu.models.modules.transformer import (
+        TransformerEncoderLayer,
+    )
+
+    ref = stubs("ref_detr", "/root/reference/models/modules/transformer.py")
+    torch.manual_seed(0)
+    tl = ref.TransformerEncoderLayer(64, 4, 128, dropout=0.0,
+                                     normalize_before=pre_norm).eval()
+    sd = {k: v.detach().numpy() for k, v in tl.state_dict().items()}
+    p = convert_detr_encoder_layer(sd)
+
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(20, 2, 64)).astype(np.float32)  # (seq, batch, E)
+    pos = rng.normal(size=(20, 2, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tl(torch.from_numpy(src), pos=torch.from_numpy(pos)).numpy()
+
+    jl = TransformerEncoderLayer(64, 4, 128, pre_norm=pre_norm,
+                                 dtype=jnp.float32)
+    got = jl.apply({"params": p}, jnp.asarray(src.transpose(1, 0, 2)),
+                   pos=jnp.asarray(pos.transpose(1, 0, 2)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(1, 0, 2), want, rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("pre_norm", [False, True])
+def test_detr_decoder_layer_torch_parity(stubs, pre_norm):
+    import torch
+
+    from segmentation_factory_tpu.convert import convert_detr_decoder_layer
+    from segmentation_factory_tpu.models.modules.transformer import (
+        TransformerDecoderLayer,
+    )
+
+    ref = stubs("ref_detr", "/root/reference/models/modules/transformer.py")
+    torch.manual_seed(1)
+    tl = ref.TransformerDecoderLayer(64, 4, 128, dropout=0.0,
+                                     normalize_before=pre_norm).eval()
+    sd = {k: v.detach().numpy() for k, v in tl.state_dict().items()}
+    p = convert_detr_decoder_layer(sd)
+
+    rng = np.random.default_rng(1)
+    tgt = rng.normal(size=(10, 2, 64)).astype(np.float32)
+    mem = rng.normal(size=(20, 2, 64)).astype(np.float32)
+    qpos = rng.normal(size=(10, 2, 64)).astype(np.float32)
+    mpos = rng.normal(size=(20, 2, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tl(torch.from_numpy(tgt), torch.from_numpy(mem),
+                  pos=torch.from_numpy(mpos),
+                  query_pos=torch.from_numpy(qpos)).numpy()
+
+    jl = TransformerDecoderLayer(64, 4, 128, pre_norm=pre_norm,
+                                 dtype=jnp.float32)
+    got = jl.apply(
+        {"params": p},
+        jnp.asarray(tgt.transpose(1, 0, 2)), jnp.asarray(mem.transpose(1, 0, 2)),
+        query_pos=jnp.asarray(qpos.transpose(1, 0, 2)),
+        pos=jnp.asarray(mpos.transpose(1, 0, 2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(1, 0, 2), want, rtol=2e-5, atol=2e-5
+    )
