@@ -728,6 +728,26 @@ def _t_conv1x1_dense(sd, prefix) -> Dict:
     return out
 
 
+def convert_psa(sd: Dict, sequential: bool = False, prefix: str = "") -> Dict:
+    """Reference PSAP/PSAS (psa.py:6-93) -> our modules/psa blocks."""
+    p = {
+        "conv_q_right": t_conv(sd, f"{prefix}conv_q_right"),
+        "conv_v_right": t_conv(sd, f"{prefix}conv_v_right"),
+        "conv_q_left": t_conv(sd, f"{prefix}conv_q_left"),
+        "conv_v_left": t_conv(sd, f"{prefix}conv_v_left"),
+    }
+    if sequential:
+        p["up0"] = t_conv(sd, f"{prefix}conv_up.0")
+        p["up_ln"] = {
+            "scale": np.asarray(sd[f"{prefix}conv_up.1.weight"]).reshape(-1),
+            "bias": np.asarray(sd[f"{prefix}conv_up.1.bias"]).reshape(-1),
+        }
+        p["up1"] = t_conv(sd, f"{prefix}conv_up.3")
+    else:
+        p["conv_up"] = t_conv(sd, f"{prefix}conv_up")
+    return p
+
+
 def t_mha(sd: Dict, prefix: str) -> Dict:
     """torch nn.MultiheadAttention (packed in_proj [q;k;v]) -> our
     modules/transformer.MultiheadAttention {q,k,v,proj} Denses."""

@@ -132,3 +132,30 @@ def test_detr_decoder_layer_torch_parity(stubs, pre_norm):
     np.testing.assert_allclose(
         np.asarray(got).transpose(1, 0, 2), want, rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("sequential", [False, True])
+def test_psa_torch_parity(stubs, sequential):
+    import torch
+
+    from segmentation_factory_tpu.convert import convert_psa
+    from segmentation_factory_tpu.models.modules.psa import (
+        PSAParallel,
+        PSASequential,
+    )
+
+    ref = stubs("ref_psa", "/root/reference/models/modules/psa.py")
+    torch.manual_seed(2)
+    cls = ref.PSAS if sequential else ref.PSAP
+    tm = cls(64, 64).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    p = convert_psa(sd, sequential=sequential)
+
+    x = np.random.default_rng(2).normal(size=(2, 10, 14, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    jm = (PSASequential if sequential else PSAParallel)(dtype=jnp.float32)
+    got = jm.apply({"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=2e-5, atol=2e-5
+    )
