@@ -728,6 +728,59 @@ def _t_conv1x1_dense(sd, prefix) -> Dict:
     return out
 
 
+def convert_rpn_head(sd: Dict, prefix: str = "") -> Dict:
+    """Reference RPNHead (rpn_function.py:211-245) -> detection/rpn.RPNHead."""
+    return {
+        "conv": t_conv(sd, f"{prefix}conv"),
+        "cls_logits": t_conv(sd, f"{prefix}cls_logits"),
+        "bbox_pred": t_conv(sd, f"{prefix}bbox_pred"),
+    }
+
+
+def convert_two_mlp_head(sd: Dict, roi_hw: int = 7, prefix: str = "") -> Dict:
+    """Reference TwoMLPHead (faster_rcnn.py:123-144) -> our TwoMLPHead.
+
+    torch flattens (N, C, 7, 7) C-major; we flatten (N, 7, 7, C) HWC-major,
+    so fc6's input dimension is permuted accordingly.
+    """
+    w6 = np.asarray(sd[f"{prefix}fc6.weight"])  # (rep, C*hw*hw)
+    rep = w6.shape[0]
+    c = w6.shape[1] // (roi_hw * roi_hw)
+    w6 = (
+        w6.reshape(rep, c, roi_hw, roi_hw)
+        .transpose(0, 2, 3, 1)  # -> (rep, h, w, C)
+        .reshape(rep, roi_hw * roi_hw * c)
+    )
+    return {
+        "fc6": {"kernel": w6.T, "bias": np.asarray(sd[f"{prefix}fc6.bias"])},
+        "fc7": t_linear(sd, f"{prefix}fc7"),
+    }
+
+
+def convert_fastrcnn_predictor(sd: Dict, prefix: str = "") -> Dict:
+    """Reference FastRCNNPredictor (faster_rcnn.py:147-165)."""
+    return {
+        "cls_score": t_linear(sd, f"{prefix}cls_score"),
+        "bbox_pred": t_linear(sd, f"{prefix}bbox_pred"),
+    }
+
+
+def convert_maskrcnn_predictor(sd: Dict, prefix: str = "") -> Dict:
+    """Reference MaskRCNNPredictor (maskrcnn.py:230-240): 2x2/2 deconv +
+    1x1 logits. torch ConvTranspose2d weight is (in, out, kh, kw); flax
+    ConvTranspose kernel is (kh, kw, in, out) (not flipped)."""
+    w = np.asarray(sd[f"{prefix}conv5_mask.weight"])
+    # flax ConvTranspose runs a fractionally-strided regular conv, which
+    # equals torch's ConvTranspose2d with a spatially FLIPPED kernel
+    return {
+        "conv5_mask": {
+            "kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+            "bias": np.asarray(sd[f"{prefix}conv5_mask.bias"]),
+        },
+        "mask_fcn_logits": t_conv(sd, f"{prefix}mask_fcn_logits"),
+    }
+
+
 def convert_psa(sd: Dict, sequential: bool = False, prefix: str = "") -> Dict:
     """Reference PSAP/PSAS (psa.py:6-93) -> our modules/psa blocks."""
     p = {

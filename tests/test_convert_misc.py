@@ -159,3 +159,87 @@ def test_psa_torch_parity(stubs, sequential):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, rtol=2e-5, atol=2e-5
     )
+
+
+def test_detection_heads_torch_parity(stubs):
+    """RPNHead / TwoMLPHead / FastRCNNPredictor / MaskRCNNPredictor value
+    parity vs the live reference modules (rpn_function.py:211-245,
+    faster_rcnn.py:123-165, maskrcnn.py:230-240)."""
+    import torch
+
+    from _ref_stubs import preload
+    from segmentation_factory_tpu.convert import (
+        convert_fastrcnn_predictor,
+        convert_maskrcnn_predictor,
+        convert_rpn_head,
+        convert_two_mlp_head,
+    )
+    from segmentation_factory_tpu.models.detection.roi_heads import (
+        FastRCNNPredictor,
+        MaskRCNNPredictor,
+        TwoMLPHead,
+    )
+    from segmentation_factory_tpu.models.detection.rpn import RPNHead
+
+    # rpn_function uses relative imports -> import through the real
+    # models.modules package (its __init__ is stub-safe)
+    import importlib
+
+    from _ref_stubs import install_ref_stubs
+
+    install_ref_stubs()
+    rpnmod = importlib.import_module("models.modules.rpn_function")
+    preload("models.heads.faster_rcnn",
+            "/root/reference/models/heads/faster_rcnn.py")
+    frcnn = __import__("sys").modules["models.heads.faster_rcnn"]
+    mask = stubs("ref_maskrcnn2", "/root/reference/models/heads/maskrcnn.py")
+    rng = np.random.default_rng(3)
+    torch.manual_seed(3)
+
+    # RPNHead over one pyramid level
+    th = rpnmod.RPNHead(64, 3).eval()
+    sd = {k: v.detach().numpy() for k, v in th.state_dict().items()}
+    f = rng.normal(size=(1, 16, 16, 64)).astype(np.float32)
+    with torch.no_grad():
+        wl, wd = th([torch.from_numpy(f.transpose(0, 3, 1, 2).copy())])
+    jl, jd = RPNHead(num_anchors=3, dtype=jnp.float32).apply(
+        {"params": convert_rpn_head(sd)}, [jnp.asarray(f)]
+    )
+    np.testing.assert_allclose(np.asarray(jl[0]).transpose(0, 3, 1, 2),
+                               wl[0].numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jd[0]).transpose(0, 3, 1, 2),
+                               wd[0].numpy(), rtol=1e-5, atol=1e-5)
+
+    # TwoMLPHead (flatten-order permutation) + FastRCNNPredictor
+    tm = frcnn.TwoMLPHead(64 * 7 * 7, 128).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    roi = rng.normal(size=(5, 7, 7, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(roi.transpose(0, 3, 1, 2).copy())).numpy()
+    got = TwoMLPHead(dim=128, dtype=jnp.float32).apply(
+        {"params": convert_two_mlp_head(sd)}, jnp.asarray(roi)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    tp = frcnn.FastRCNNPredictor(128, 5).eval()
+    sd = {k: v.detach().numpy() for k, v in tp.state_dict().items()}
+    with torch.no_grad():
+        ws, wb = tp(torch.from_numpy(want))
+    gs, gb = FastRCNNPredictor(num_classes=5, dtype=jnp.float32).apply(
+        {"params": convert_fastrcnn_predictor(sd)}, jnp.asarray(want)
+    )
+    np.testing.assert_allclose(np.asarray(gs), ws.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), wb.numpy(), rtol=1e-5, atol=1e-5)
+
+    # MaskRCNNPredictor (deconv kernel layout)
+    mp = mask.MaskRCNNPredictor(64, 32, 5).eval()
+    sd = {k: v.detach().numpy() for k, v in mp.state_dict().items()}
+    x = rng.normal(size=(2, 14, 14, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = mp(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    got = MaskRCNNPredictor(num_classes=5, channels=32, dtype=jnp.float32).apply(
+        {"params": convert_maskrcnn_predictor(sd)}, jnp.asarray(x)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-5, atol=1e-5
+    )
