@@ -728,6 +728,43 @@ def _t_conv1x1_dense(sd, prefix) -> Dict:
     return out
 
 
+def convert_resnet(sd: Dict, layers, prefix: str = "") -> Dict:
+    """Reference ResNet (resnet.py:54-117, Bottleneck) -> backbones/resnet.
+
+    Layout: conv1/bn1 stem; layer{1-4}.{j}.conv{1,2,3}/bn{1,2,3} +
+    optional downsample.{0,1}. include_top avgpool/fc are dropped (our
+    backbone returns the 4-level pyramid).
+    """
+    p: Dict = {}
+    s: Dict = {}
+    p["stem"], s["stem"] = _t_conv_bn_pair(sd, f"{prefix}conv1", f"{prefix}bn1")
+    for i, n in enumerate(layers, start=1):
+        for j in range(n):
+            r = f"{prefix}layer{i}.{j}"
+            blk_p: Dict = {}
+            blk_s: Dict = {}
+            for k in range(1, 4):
+                cp, cs = _t_conv_bn_pair(sd, f"{r}.conv{k}", f"{r}.bn{k}")
+                blk_p[f"ConvModule_{k - 1}"] = cp
+                blk_s[f"ConvModule_{k - 1}"] = cs
+            if f"{r}.downsample.0.weight" in sd:
+                blk_p["downsample"], blk_s["downsample"] = _t_seqconvbn(
+                    sd, f"{r}.downsample")
+            p[f"layer{i}_{j}"] = blk_p
+            s[f"layer{i}_{j}"] = blk_s
+    return {"params": p, "batch_stats": s}
+
+
+def convert_fpn(sd: Dict, num_levels: int = 4, prefix: str = "") -> Dict:
+    """Reference FeaturePyramidNetwork (feature_pyramid_network.py:116-230:
+    inner_blocks/layer_blocks biased convs) -> our FeaturePyramidNetwork."""
+    p: Dict = {}
+    for i in range(num_levels):
+        p[f"inner{i}"] = t_conv(sd, f"{prefix}inner_blocks.{i}")
+        p[f"layer{i}"] = t_conv(sd, f"{prefix}layer_blocks.{i}")
+    return p
+
+
 def convert_rpn_head(sd: Dict, prefix: str = "") -> Dict:
     """Reference RPNHead (rpn_function.py:211-245) -> detection/rpn.RPNHead."""
     return {
@@ -1101,6 +1138,12 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
         if variant == "samll":  # the reference MODEL_SPECS typo alias
             variant = "small"
         return convert_mobilenetv4(sd, variant)
+    if name.startswith("resnet"):
+        from segmentation_factory_tpu.models.backbones.resnet import (
+            RESNET_SETTINGS,
+        )
+
+        return convert_resnet(sd, RESNET_SETTINGS[name])
     if name.startswith("rcvit_"):
         from segmentation_factory_tpu.models.backbones.casvit import (
             CASVIT_SETTINGS,

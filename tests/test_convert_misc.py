@@ -5,6 +5,7 @@ DETR sine position embedding (pure math, no weights)."""
 import sys
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -243,3 +244,80 @@ def test_detection_heads_torch_parity(stubs):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-5, atol=1e-5
     )
+
+
+def test_resnet50_fpn_torch_parity(stubs):
+    """Reference ResNet-50 (resnet.py:54-117) + FeaturePyramidNetwork
+    (feature_pyramid_network.py:116-230) value parity."""
+    import importlib
+
+    import torch
+
+    from _ref_stubs import install_ref_stubs, preload
+    from segmentation_factory_tpu.convert import convert_backbone, convert_fpn
+    from segmentation_factory_tpu.models.backbones.resnet import (
+        FeaturePyramidNetwork,
+    )
+    from segmentation_factory_tpu.registry import get_backbone
+
+    install_ref_stubs()
+    preload("models.backbones.feature_pyramid_network",
+            "/root/reference/models/backbones/feature_pyramid_network.py")
+    ref = preload("models.backbones.resnet",
+                  "/root/reference/models/backbones/resnet.py")
+    fpnmod = importlib.import_module(
+        "models.backbones.feature_pyramid_network")
+
+    torch.manual_seed(4)
+    tb = ref.ResNet(ref.Bottleneck, [3, 4, 6, 3], include_top=False).eval()
+    with torch.no_grad():
+        for m in tb.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.9, 1.1)
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    tree = convert_backbone(sd, "resnet50")
+
+    jb, ch = get_backbone("resnet50", dtype=jnp.float32)
+    x = np.random.default_rng(4).normal(size=(1, 96, 96, 3)).astype(np.float32)
+    init = jb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    assert jax.tree_util.tree_structure(init["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(jnp.asarray, tree["params"])
+        )
+    ), "converted ResNet param-tree structure mismatch"
+
+    with torch.no_grad():
+        want = tb(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    feats = jb.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    got = np.asarray(feats[-1]).transpose(0, 3, 1, 2)
+    scale = float(np.abs(want).std()) or 1.0
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=2e-3)
+
+    # FPN over random pyramid features
+    tf = fpnmod.FeaturePyramidNetwork([64, 128, 256], 32,
+                                      extra_blocks=fpnmod.LastLevelMaxPool()).eval()
+    sd = {k: v.detach().numpy() for k, v in tf.state_dict().items()}
+    p = convert_fpn(sd, num_levels=3)
+    rng = np.random.default_rng(5)
+    fs = [rng.normal(size=(1, 16 // (2 ** i), 16 // (2 ** i), c)).astype(np.float32)
+          for i, c in enumerate([64, 128, 256])]
+    from collections import OrderedDict
+    with torch.no_grad():
+        wout = tf(OrderedDict(
+            (str(i), torch.from_numpy(f.transpose(0, 3, 1, 2).copy()))
+            for i, f in enumerate(fs)
+        ))
+    wout = list(wout.values())
+    jout = FeaturePyramidNetwork(out_channels=32, dtype=jnp.float32).apply(
+        {"params": p}, [jnp.asarray(f) for f in fs]
+    )
+    assert len(jout) == len(wout) == 4  # 3 levels + extra max-pool
+    for i, (g, w) in enumerate(zip(jout, wout)):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w.numpy(),
+            rtol=1e-5, atol=1e-5, err_msg=f"fpn level {i}",
+        )
