@@ -32,6 +32,9 @@ from segmentation_factory_tpu.models.detection.roi_heads import (  # noqa: F401
 from segmentation_factory_tpu.models.detection.transform import (  # noqa: F401
     ImageList,
     batch_images,
+    expand_boxes,
+    expand_masks,
     paste_mask_in_image,
+    paste_masks_in_image,
     resize_boxes,
 )

@@ -55,22 +55,78 @@ def batch_images(
     return ImageList(out, sizes)
 
 
+def _bilinear_f32(mask: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """fp32 bilinear resize with half-pixel centers (torch F.interpolate,
+    align_corners=False) — no uint8 quantization."""
+    sh, sw = mask.shape
+    oh, ow = out_hw
+
+    def axis_w(n_out, n_in):
+        pos = (np.arange(n_out, dtype=np.float32) + 0.5) * (n_in / n_out) - 0.5
+        pos = np.clip(pos, 0, n_in - 1)
+        lo = np.clip(np.floor(pos).astype(np.int64), 0, max(n_in - 2, 0))
+        t = pos - lo
+        return lo, t
+
+    ylo, ty = axis_w(oh, sh)
+    xlo, tx = axis_w(ow, sw)
+    yhi = np.minimum(ylo + 1, sh - 1)
+    xhi = np.minimum(xlo + 1, sw - 1)
+    m = mask.astype(np.float32)
+    top = m[ylo][:, xlo] * (1 - tx) + m[ylo][:, xhi] * tx
+    bot = m[yhi][:, xlo] * (1 - tx) + m[yhi][:, xhi] * tx
+    return top * (1 - ty[:, None]) + bot * ty[:, None]
+
+
 def paste_mask_in_image(
     mask: np.ndarray, box: np.ndarray, image_hw: Tuple[int, int]
 ) -> np.ndarray:
-    """Resize a (M, M) mask into its box on the full image (ref :212-232)."""
-    from PIL import Image
-
+    """Resize a (M, M) mask into its box on the full image (ref :182-210:
+    integer box, +1 extent, fp32 bilinear, clipped paste)."""
     h, w = image_hw
-    x1, y1, x2, y2 = [int(round(v)) for v in box]
+    x1, y1, x2, y2 = [int(v) for v in box]
     bw = max(x2 - x1 + 1, 1)
     bh = max(y2 - y1 + 1, 1)
-    m = np.asarray(
-        Image.fromarray((mask * 255).astype(np.uint8)).resize((bw, bh), Image.BILINEAR),
-        np.float32,
-    ) / 255.0
+    m = _bilinear_f32(np.asarray(mask, np.float32), (bh, bw))
     out = np.zeros((h, w), np.float32)
     ys, ye = max(y1, 0), min(y2 + 1, h)
     xs, xe = max(x1, 0), min(x2 + 1, w)
     out[ys:ye, xs:xe] = m[ys - y1 : ye - y1, xs - x1 : xe - x1]
     return out
+
+
+def expand_masks(masks: np.ndarray, padding: int = 1):
+    """Pad (N, M, M) masks by ``padding`` px (ref transform.py:150-160);
+    returns (padded, scale)."""
+    m = masks.shape[-1]
+    scale = float(m + 2 * padding) / m
+    out = np.pad(masks, ((0, 0), (padding, padding), (padding, padding)))
+    return out, scale
+
+
+def expand_boxes(boxes: np.ndarray, scale: float) -> np.ndarray:
+    """Scale boxes around their centers (ref transform.py:162-179)."""
+    w_half = (boxes[:, 2] - boxes[:, 0]) * 0.5 * scale
+    h_half = (boxes[:, 3] - boxes[:, 1]) * 0.5 * scale
+    x_c = (boxes[:, 2] + boxes[:, 0]) * 0.5
+    y_c = (boxes[:, 3] + boxes[:, 1]) * 0.5
+    out = np.stack(
+        [x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half], axis=1
+    )
+    return out
+
+
+def paste_masks_in_image(
+    masks: np.ndarray,  # (N, M, M) in [0, 1]
+    boxes: np.ndarray,  # (N, 4) xyxy
+    image_hw: Tuple[int, int],
+    padding: int = 1,
+) -> np.ndarray:
+    """Full paste-back (ref transform.py:212-232): expand masks/boxes by the
+    1-px halo, then paste each into its (int64-truncated) box."""
+    masks, scale = expand_masks(np.asarray(masks, np.float32), padding)
+    boxes = expand_boxes(np.asarray(boxes, np.float32), scale).astype(np.int64)
+    out = np.stack(
+        [paste_mask_in_image(m, b, image_hw) for m, b in zip(masks, boxes)]
+    ) if len(masks) else np.zeros((0,) + tuple(image_hw), np.float32)
+    return out[:, None]  # (N, 1, H, W)

@@ -321,3 +321,34 @@ def test_resnet50_fpn_torch_parity(stubs):
             np.asarray(g).transpose(0, 3, 1, 2), w.numpy(),
             rtol=1e-5, atol=1e-5, err_msg=f"fpn level {i}",
         )
+
+
+def test_paste_masks_torch_parity(stubs):
+    """Mask paste-back parity vs the reference GeneralizedRCNNTransform
+    helpers (transform.py:145-232): expand_masks/expand_boxes 1-px halo +
+    fp32 bilinear paste into int64-truncated boxes."""
+    import importlib
+
+    import torch
+
+    from _ref_stubs import install_ref_stubs
+    from segmentation_factory_tpu.models.detection import paste_masks_in_image
+
+    install_ref_stubs()
+    tmod = importlib.import_module("models.modules.transform")
+
+    rng = np.random.default_rng(6)
+    masks = rng.uniform(0, 1, (4, 14, 14)).astype(np.float32)
+    boxes = np.asarray(
+        [[3.2, 5.9, 30.7, 41.3],
+         [0.0, 0.0, 10.0, 10.0],
+         [50.5, 50.5, 63.0, 60.0],
+         [-4.0, -2.0, 12.0, 20.0]],  # clipped at the border
+        np.float32,
+    )
+    with torch.no_grad():
+        want = tmod.paste_masks_in_image(
+            torch.from_numpy(masks)[:, None], torch.from_numpy(boxes), (64, 64)
+        ).numpy()
+    got = paste_masks_in_image(masks, boxes, (64, 64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
