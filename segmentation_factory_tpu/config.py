@@ -44,6 +44,8 @@ class OptimConfig:
     lr: float = 1e-3
     weight_decay: float = 1e-4
     momentum: float = 0.9
+    opt_eps: Optional[float] = None  # ref --opt-eps
+    opt_betas: Optional[Tuple[float, float]] = None  # ref --opt-betas
     sched: str = "cosine"
     warmup_steps: int = 1500
     warmup_lr: float = 1e-6
@@ -51,6 +53,10 @@ class OptimConfig:
     clip_grad: Optional[float] = 0.02
     clip_mode: str = "agc"  # 'agc' | 'norm' | 'value' (ref engine.py:50-53)
     epochs: int = 100
+    # extra scheduler knobs passed straight into create_schedule: the ref's
+    # --lr-cycle-mul/-decay/-limit, --lr-k-decay, --lr-noise(-pct/-std),
+    # --decay-rate, --decay-milestones live here (schedule.py supports all)
+    sched_kwargs: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -91,7 +97,10 @@ class TrainConfig:
         return TrainConfig(
             model=ModelConfig(**d.get("model", {})),
             data=DataConfig(**{k: tuple(v) if isinstance(v, list) else v for k, v in d.get("data", {}).items()}),
-            optim=OptimConfig(**d.get("optim", {})),
+            optim=OptimConfig(**{
+                k: tuple(v) if k == "opt_betas" and isinstance(v, list) else v
+                for k, v in d.get("optim", {}).items()
+            }),
             eval=EvalConfig(**{k: tuple(v) if isinstance(v, list) else v for k, v in d.get("eval", {}).items()}),
             **{
                 k: (tuple(v) if k == "mesh_shape" and v is not None else v)

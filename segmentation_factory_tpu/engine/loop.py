@@ -91,6 +91,7 @@ class Trainer:
             total_steps=total_steps,
             warmup_steps=min(cfg.optim.warmup_steps, total_steps // 10),
             min_lr=cfg.optim.min_lr,
+            **(cfg.optim.sched_kwargs or {}),
         )
 
         self.model = build_model(
@@ -110,6 +111,8 @@ class Trainer:
             momentum=cfg.optim.momentum,
             clip_grad=cfg.optim.clip_grad,
             clip_mode=cfg.optim.clip_mode,
+            eps=cfg.optim.opt_eps,
+            betas=cfg.optim.opt_betas,
         )
         state = create_train_state(
             self.model, jax.random.PRNGKey(cfg.seed), (1, d.img_size, d.img_size, 3), tx

@@ -98,22 +98,31 @@ def create_optimizer(
     clip_grad: Optional[float] = 0.02,
     clip_mode: str = "agc",
     params=None,
+    eps: Optional[float] = None,  # ref --opt-eps (train_gpu.py)
+    betas: Optional[tuple] = None,  # ref --opt-betas
 ) -> optax.GradientTransformation:
     opt = opt.lower()
     # optax accepts a callable mask, so the timm no-decay convention applies
     # even when params aren't known yet (the mask is built lazily at init)
     wd_mask = _wd_mask(params) if params is not None else _wd_mask
+    adam_kw = {}
+    if eps is not None:
+        adam_kw["eps"] = eps
+    if betas is not None:
+        adam_kw["b1"], adam_kw["b2"] = betas
     if opt == "adamw":
-        core = optax.adamw(schedule, weight_decay=weight_decay, mask=wd_mask)
+        core = optax.adamw(schedule, weight_decay=weight_decay, mask=wd_mask,
+                           **adam_kw)
     elif opt == "adam":
-        core = optax.adam(schedule)
+        core = optax.adam(schedule, **adam_kw)
     elif opt == "sgd":
         core = optax.chain(
             optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.sgd(schedule, momentum=momentum, nesterov=True),
         )
     elif opt == "lamb":
-        core = optax.lamb(schedule, weight_decay=weight_decay, mask=wd_mask)
+        core = optax.lamb(schedule, weight_decay=weight_decay, mask=wd_mask,
+                          **adam_kw)
     else:
         raise KeyError(f"unknown optimizer {opt!r}")
     return optax.chain(_clip_transform(clip_grad, clip_mode), core)

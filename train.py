@@ -28,6 +28,23 @@ def parse_args():
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--sched", default="cosine")
     p.add_argument("--warmup-steps", type=int, default=1500)
+    # timm-style optimizer/scheduler long tail (ref train_gpu.py flags)
+    p.add_argument("--opt-eps", type=float, default=None)
+    p.add_argument("--opt-betas", type=float, nargs=2, default=None)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--lr-cycle-mul", type=float, default=None)
+    p.add_argument("--lr-cycle-decay", type=float, default=None)
+    p.add_argument("--lr-cycle-limit", type=int, default=None)
+    p.add_argument("--lr-k-decay", type=float, default=None)
+    p.add_argument("--lr-noise", type=float, nargs=2, default=None,
+                   help="noise window in optimizer STEPS, e.g. 4000 9000 "
+                        "(iteration-granular analogue of ref --lr-noise)")
+    p.add_argument("--lr-noise-pct", type=float, default=None)
+    p.add_argument("--lr-noise-std", type=float, default=None)
+    p.add_argument("--decay-rate", type=float, default=None,
+                   help="step/multistep decay factor (ref --decay-rate)")
+    p.add_argument("--decay-milestones", type=int, nargs="+", default=None,
+                   help="multistep milestones in steps (ref --decay-milestones)")
     p.add_argument("--clip-grad", type=float, default=0.02)
     p.add_argument("--clip-mode", default="agc")
     p.add_argument("--loss", default="ce", help="ce|ohem|focal|dicebce")
@@ -127,11 +144,29 @@ def main():
             lr=args.lr,
             min_lr=args.min_lr,
             weight_decay=args.weight_decay,
+            momentum=args.momentum,
+            opt_eps=args.opt_eps,
+            opt_betas=tuple(args.opt_betas) if args.opt_betas else None,
             sched=args.sched,
             warmup_steps=args.warmup_steps,
             clip_grad=args.clip_grad,
             clip_mode=args.clip_mode,
             epochs=args.epochs,
+            sched_kwargs={
+                k: v
+                for k, v in {
+                    "cycle_mul": args.lr_cycle_mul,
+                    "cycle_decay": args.lr_cycle_decay,
+                    "cycle_limit": args.lr_cycle_limit,
+                    "k_decay": args.lr_k_decay,
+                    "noise_range": tuple(args.lr_noise) if args.lr_noise else None,
+                    "noise_pct": args.lr_noise_pct,
+                    "noise_std": args.lr_noise_std,
+                    "decay_rate": args.decay_rate,
+                    "milestones": args.decay_milestones,
+                }.items()
+                if v is not None
+            },
         ),
         eval=EvalConfig(
             protocol=args.eval_protocol,
