@@ -130,10 +130,54 @@ def bench_config(name: str, batch: int, img: int, loss_type: str, iters: int = 3
     }
 
 
+def bench_infer(name: str, batch: int, img: int, iters: int = 30):
+    """Forward-only (serving) throughput with the same honesty checks."""
+    from segmentation_factory_tpu.models import build_model
+
+    nc = 19
+    model = build_model("mit_b2", "segformerhead", num_classes=nc)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, img, img, 3), jnp.float32),
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, img, img, 3)), jnp.float32)
+
+    def fwd(v, x):
+        return model.apply(v, x, train=False)
+
+    compiled = jax.jit(fwd).lower(variables, x).compile()
+    flops_per_step = _step_flops(compiled)
+
+    for _ in range(3):
+        y = compiled(variables, x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = compiled(variables, x)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+
+    peak = _peak_tflops()
+    measured_ips = iters * batch / dt
+    measured_tflops = flops_per_step * iters / dt / 1e12
+    mfu = measured_tflops / peak if peak else float("inf")
+    flops_per_img = flops_per_step / batch
+    return {
+        "name": name,
+        "flops_per_step": flops_per_step,
+        "measured_images_per_sec": round(measured_ips, 2),
+        "mfu": round(mfu, 4),
+        "roofline_images_per_sec": round(peak * 1e12 / flops_per_img, 2),
+        "timing_reliable": 0.0 < mfu <= MAX_PLAUSIBLE_MFU,
+    }
+
+
 def main():
     results = [
         bench_config("mit_b2_segformer_512_ce", batch=8, img=512, loss_type="ce"),
         bench_config("mit_b2_segformer_1024_ohem", batch=2, img=1024, loss_type="ohem"),
+        bench_infer("infer_mit_b2_segformer_512_b16", batch=16, img=512),
     ]
     flagship = results[0]
 

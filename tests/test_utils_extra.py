@@ -135,3 +135,30 @@ def test_baseline_configs_load():
         assert cfg.model.backbone in BACKBONES
         assert cfg.model.head in HEADS
         assert cfg.model.num_classes > 1
+
+
+def test_optim_config_roundtrip_new_knobs():
+    """opt_eps/opt_betas/sched_kwargs survive the JSON round-trip and reach
+    create_schedule/create_optimizer (the ref's timm flag long tail)."""
+    from segmentation_factory_tpu.config import TrainConfig
+    from segmentation_factory_tpu.engine.state import create_optimizer
+    from segmentation_factory_tpu.schedule import create_schedule
+
+    c = TrainConfig()
+    c.optim.opt_betas = (0.9, 0.95)
+    c.optim.opt_eps = 1e-7
+    c.optim.sched_kwargs = {"cycle_mul": 2.0, "k_decay": 1.5}
+    c2 = TrainConfig.from_json(c.to_json())
+    assert c2.optim.opt_betas == (0.9, 0.95)
+    assert c2.optim.sched_kwargs == {"cycle_mul": 2.0, "k_decay": 1.5}
+
+    s = create_schedule("cosine", 1e-3, total_steps=100, warmup_steps=5,
+                        **c2.optim.sched_kwargs)
+    tx = create_optimizer("adamw", s, eps=c2.optim.opt_eps,
+                          betas=c2.optim.opt_betas)
+    import jax.numpy as jnp
+
+    p = {"w": jnp.ones((2, 2))}
+    st = tx.init(p)
+    upd, _ = tx.update({"w": jnp.ones((2, 2))}, st, p)
+    assert upd["w"].shape == (2, 2)

@@ -6,6 +6,13 @@ the TPU backend against the XLA einsum reference and writes the error table
 to stdout (captured in TPU_PARITY.txt as the round's hardware artifact).
 """
 
+import os
+import sys
+
+# repo root on sys.path (PREPEND — replacing PYTHONPATH breaks the axon
+# plugin registration, see CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
