@@ -728,6 +728,28 @@ def _t_conv1x1_dense(sd, prefix) -> Dict:
     return out
 
 
+def convert_msdeformattn(sd: Dict, prefix: str = "") -> Dict:
+    """Reference MSDeformAttn module (ms_deform_attn.py:30-115) -> ours."""
+    return {
+        "value_proj": t_linear(sd, f"{prefix}value_proj"),
+        "sampling_offsets": t_linear(sd, f"{prefix}sampling_offsets"),
+        "attention_weights": t_linear(sd, f"{prefix}attention_weights"),
+        "output_proj": t_linear(sd, f"{prefix}output_proj"),
+    }
+
+
+def convert_deformable_encoder_layer(sd: Dict, prefix: str = "") -> Dict:
+    """Reference MSDeformAttnTransformerEncoderLayer (msdeformattn.py:13-53)
+    -> layers/msdeformattn.DeformableEncoderLayer."""
+    return {
+        "MSDeformAttn_0": convert_msdeformattn(sd, f"{prefix}self_attn."),
+        "LayerNorm_0": t_ln(sd, f"{prefix}norm1"),
+        "Dense_0": t_linear(sd, f"{prefix}linear1"),
+        "Dense_1": t_linear(sd, f"{prefix}linear2"),
+        "LayerNorm_1": t_ln(sd, f"{prefix}norm2"),
+    }
+
+
 def convert_resnet(sd: Dict, layers, prefix: str = "") -> Dict:
     """Reference ResNet (resnet.py:54-117, Bottleneck) -> backbones/resnet.
 
