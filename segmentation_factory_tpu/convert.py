@@ -505,6 +505,40 @@ def convert_segmentation_model(sd: Dict, depths) -> Dict:
     return {"params": params, "batch_stats": {"decode_head": head_stats}}
 
 
+def convert_full_model(sd: Dict, backbone_name: str, head_name: str) -> Dict:
+    """Generic full-model importer: any reference SegmentationModel
+    checkpoint (backbone.* + decode_head.*, build_models.py:17-66) whose
+    backbone family has a converter and whose head is one of the
+    reference's five. Used by the Trainer's ``--finetune foo.pth`` path."""
+    bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
+             if k.startswith("backbone.")}
+    hd_sd = {k[len("decode_head."):]: v for k, v in sd.items()
+             if k.startswith("decode_head.")}
+    bb = convert_backbone(bb_sd, backbone_name)
+
+    head = head_name.lower()
+    stats: Dict = {}
+    if head == "segformerhead":
+        hp, hs = convert_segformer_head(hd_sd)
+    elif head == "uperhead":
+        hp, hs = convert_uperhead(hd_sd)
+    elif head == "fpnhead":
+        n = sum(1 for k in hd_sd if k.startswith("lateral_convs.")
+                and k.endswith(".0.weight"))
+        hp, hs = convert_fpnhead(hd_sd, num_levels=max(n, 1))
+    elif head == "deeplabv3":
+        hp, hs = convert_deeplabv3(hd_sd)
+    elif head == "maskrcnnsegmentationhead":
+        hp, hs = {"fcn": convert_maskrcnn_fcn(hd_sd)}, {}
+    else:
+        raise KeyError(f"no torch converter for head {head_name!r}")
+    params = {"backbone": bb["params"], "decode_head": hp}
+    stats = {"decode_head": hs}
+    if bb.get("batch_stats"):
+        stats["backbone"] = bb["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_mobilenetv2(sd: Dict) -> Dict:
     """Reference MobileNetV2 (mobilenetv2.py; the reference's 'MobileNetV3'
     is the identical graph) -> flax params for backbones/mobilenet.MobileNet.

@@ -236,14 +236,15 @@ class Trainer:
 
         if path.endswith(".pth"):
             from segmentation_factory_tpu.convert import (
-                convert_segmentation_model,
+                convert_full_model,
                 load_torch_checkpoint,
             )
-            from segmentation_factory_tpu.models.backbones.mit import MIT_SETTINGS
 
-            variant = self.cfg.model.backbone.split("_")[-1]
-            depths = MIT_SETTINGS[variant][1]
-            tree = convert_segmentation_model(load_torch_checkpoint(path), depths)
+            tree = convert_full_model(
+                load_torch_checkpoint(path),
+                self.cfg.model.backbone,
+                self.cfg.model.head,
+            )
             ckpt_params = tree["params"]
         else:
             src = CM(path)

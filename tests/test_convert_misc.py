@@ -352,3 +352,40 @@ def test_paste_masks_torch_parity(stubs):
         ).numpy()
     got = paste_masks_in_image(masks, boxes, (64, 64))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_convert_full_model_generic_wiring(stubs):
+    """convert_full_model (the --finetune .pth path) assembles a loadable
+    tree for a non-flagship combo: reference MobileNetV2 backbone + FPNHead
+    decode head, prefixed as the reference SegmentationModel stores them."""
+    import importlib.util
+
+    import torch
+
+    from segmentation_factory_tpu.convert import convert_full_model
+    from segmentation_factory_tpu.models.build import build_model
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_mnv2_full", "/root/reference/models/backbones/mobilenetv2.py"
+    )
+    mnv2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mnv2)
+    fpn = stubs("ref_fpn_full", "/root/reference/models/heads/fpn.py")
+
+    torch.manual_seed(5)
+    tb = mnv2.MobileNetV2().eval()
+    th = fpn.FPNHead([24, 32, 96, 320], channel=128, num_classes=7).eval()
+    sd = {f"backbone.{k}": v.detach().numpy() for k, v in tb.state_dict().items()}
+    sd.update({f"decode_head.{k}": v.detach().numpy()
+               for k, v in th.state_dict().items()})
+
+    tree = convert_full_model(sd, "mobilenetv2", "fpnhead")
+    jm = build_model("mobilenetv2", "fpnhead", num_classes=7, embed_dim=128,
+                     dtype=jnp.float32)
+    init = jm.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    assert jax.tree_util.tree_structure(init["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(jnp.asarray, tree["params"])
+        )
+    ), "convert_full_model tree does not match build_model"

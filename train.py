@@ -45,6 +45,8 @@ def parse_args():
                    help="step/multistep decay factor (ref --decay-rate)")
     p.add_argument("--decay-milestones", type=int, nargs="+", default=None,
                    help="multistep milestones in steps (ref --decay-milestones)")
+    p.add_argument("--patience-epochs", type=int, default=None,
+                   help="plateau patience (ref --patience-epochs)")
     p.add_argument("--clip-grad", type=float, default=0.02)
     p.add_argument("--clip-mode", default="agc")
     p.add_argument("--loss", default="ce", help="ce|ohem|focal|dicebce")
@@ -164,6 +166,7 @@ def main():
                     "noise_std": args.lr_noise_std,
                     "decay_rate": args.decay_rate,
                     "milestones": args.decay_milestones,
+                    "patience": args.patience_epochs,
                 }.items()
                 if v is not None
             },
