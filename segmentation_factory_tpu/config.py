@@ -53,6 +53,9 @@ class OptimConfig:
     clip_grad: Optional[float] = 0.02
     clip_mode: str = "agc"  # 'agc' | 'norm' | 'value' (ref engine.py:50-53)
     epochs: int = 100
+    grad_accum: int = 1  # micro-batch accumulation (optax.MultiSteps); the
+    # effective batch is data.batch_size * grad_accum * hosts — new TPU-first
+    # capability (fits 1024^2 global batches in one chip's HBM)
     # extra scheduler knobs passed straight into create_schedule: the ref's
     # --lr-cycle-mul/-decay/-limit, --lr-k-decay, --lr-noise(-pct/-std),
     # --decay-rate, --decay-milestones live here (schedule.py supports all)

@@ -84,7 +84,11 @@ class Trainer:
         )
 
         steps_per_epoch = max(len(self.train_loader), 1)
-        total_steps = steps_per_epoch * cfg.optim.epochs
+        # the optax schedule is indexed in OPTIMIZER UPDATES; with grad
+        # accumulation only every k-th micro-step applies one
+        total_steps = max(
+            steps_per_epoch * cfg.optim.epochs // max(cfg.optim.grad_accum, 1), 1
+        )
         self.schedule = create_schedule(
             cfg.optim.sched,
             cfg.optim.lr,
@@ -114,6 +118,12 @@ class Trainer:
             eps=cfg.optim.opt_eps,
             betas=cfg.optim.opt_betas,
         )
+        if cfg.optim.grad_accum > 1:
+            import optax
+
+            # average grads over k micro-steps, apply once (params stay
+            # fixed in between; schedules advance per optimizer update)
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.optim.grad_accum)
         state = create_train_state(
             self.model, jax.random.PRNGKey(cfg.seed), (1, d.img_size, d.img_size, 3), tx
         )

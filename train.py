@@ -47,6 +47,9 @@ def parse_args():
                    help="multistep milestones in steps (ref --decay-milestones)")
     p.add_argument("--patience-epochs", type=int, default=None,
                    help="plateau patience (ref --patience-epochs)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batch accumulation factor (effective batch = "
+                        "batch-size * grad-accum * hosts)")
     p.add_argument("--clip-grad", type=float, default=0.02)
     p.add_argument("--clip-mode", default="agc")
     p.add_argument("--loss", default="ce", help="ce|ohem|focal|dicebce")
@@ -154,6 +157,7 @@ def main():
             clip_grad=args.clip_grad,
             clip_mode=args.clip_mode,
             epochs=args.epochs,
+            grad_accum=args.grad_accum,
             sched_kwargs={
                 k: v
                 for k, v in {
