@@ -168,7 +168,9 @@ def bench_infer(name: str, batch: int, img: int, iters: int = 30):
         "flops_per_step": flops_per_step,
         "measured_images_per_sec": round(measured_ips, 2),
         "mfu": round(mfu, 4),
-        "roofline_images_per_sec": round(peak * 1e12 / flops_per_img, 2),
+        "roofline_images_per_sec": round(
+            peak * 1e12 / flops_per_img if flops_per_img else 0.0, 2
+        ),
         "timing_reliable": 0.0 < mfu <= MAX_PLAUSIBLE_MFU,
     }
 

@@ -99,15 +99,30 @@ def load_params_for_finetune(params, ckpt_params, freeze: bool = False):
     ``masked`` freezing when ``freeze`` (ref freeze loop :252-257).
     """
 
-    def merge(path, new, old):
-        in_classifier = any(
-            any(k in str(p) for k in CLASSIFIER_KEYS) for p in path
-        )
-        if in_classifier or new.shape != old.shape:
-            return new
-        return old
+    def merge(dst, src, path=()):
+        # structural-mismatch tolerant (like torch load_state_dict
+        # strict=False): intersecting same-shape non-classifier leaves load;
+        # everything else keeps the fresh init. Converted reference
+        # checkpoints legitimately lack subtrees the flax model always
+        # instantiates (e.g. a DeepLabV3 saved with aux_for_deeplab=False).
+        out = {}
+        for k, new in dst.items():
+            old = src.get(k) if isinstance(src, dict) else None
+            if isinstance(new, dict):
+                out[k] = merge(new, old if isinstance(old, dict) else {},
+                               path + (k,))
+                continue
+            in_classifier = any(
+                any(c in str(p) for c in CLASSIFIER_KEYS) for p in path + (k,)
+            )
+            if (old is None or in_classifier
+                    or tuple(getattr(old, "shape", ())) != tuple(new.shape)):
+                out[k] = new
+            else:
+                out[k] = jax.numpy.asarray(old, new.dtype)
+        return out
 
-    merged = jax.tree_util.tree_map_with_path(merge, params, ckpt_params)
+    merged = merge(params, ckpt_params)
 
     def trainable(path, x):
         if not freeze:

@@ -517,7 +517,6 @@ def convert_full_model(sd: Dict, backbone_name: str, head_name: str) -> Dict:
     bb = convert_backbone(bb_sd, backbone_name)
 
     head = head_name.lower()
-    stats: Dict = {}
     if head == "segformerhead":
         hp, hs = convert_segformer_head(hd_sd)
     elif head == "uperhead":
@@ -745,13 +744,7 @@ def convert_iformer(sd: Dict, variant: str) -> Dict:
 
 def _t_seqconvbn(sd, prefix, ci=0, bi=1) -> Tuple[Dict, Dict]:
     """nn.Sequential(conv@ci, bn@bi, ...) -> our ConvModule."""
-    bn_p, bn_s = t_bn(sd, f"{prefix}.{bi}")
-    params = {
-        "Conv_0": t_conv(sd, f"{prefix}.{ci}"),
-        "BatchNorm_0": {"BatchNorm_0": bn_p},
-    }
-    stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
-    return params, stats
+    return _t_conv_bn_pair(sd, f"{prefix}.{ci}", f"{prefix}.{bi}")
 
 
 def _t_conv1x1_dense(sd, prefix) -> Dict:
@@ -1062,19 +1055,8 @@ def convert_efficientvitseg(sd: Dict, variant: str) -> Dict:
     }
 
 
-def _t_convnormact(sd, prefix) -> Tuple[Dict, Dict]:
-    """timm ConvNormAct (.conv + .bn BatchNormAct2d) -> our ConvModule."""
-    bn_p, bn_s = t_bn(sd, f"{prefix}.bn")
-    params = {
-        "Conv_0": t_conv(sd, f"{prefix}.conv"),
-        "BatchNorm_0": {"BatchNorm_0": bn_p},
-    }
-    stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
-    return params, stats
-
-
 def _t_conv_bn_pair(sd, conv_key, bn_key) -> Tuple[Dict, Dict]:
-    """A bare (create_conv2d, BatchNormAct2d) pair -> our ConvModule."""
+    """A (conv, BN) key pair -> our ConvModule (params, stats)."""
     bn_p, bn_s = t_bn(sd, bn_key)
     params = {
         "Conv_0": t_conv(sd, conv_key),
@@ -1082,6 +1064,11 @@ def _t_conv_bn_pair(sd, conv_key, bn_key) -> Tuple[Dict, Dict]:
     }
     stats = {"BatchNorm_0": {"BatchNorm_0": bn_s}}
     return params, stats
+
+
+def _t_convnormact(sd, prefix) -> Tuple[Dict, Dict]:
+    """timm ConvNormAct (.conv + .bn BatchNormAct2d) -> our ConvModule."""
+    return _t_conv_bn_pair(sd, f"{prefix}.conv", f"{prefix}.bn")
 
 
 def convert_mobilenetv4(sd: Dict, variant: str) -> Dict:

@@ -124,6 +124,13 @@ class Trainer:
             # average grads over k micro-steps, apply once (params stay
             # fixed in between; schedules advance per optimizer update)
             tx = optax.MultiSteps(tx, every_k_schedule=cfg.optim.grad_accum)
+        # state.step counts MICRO-steps; the schedule is indexed in
+        # optimizer updates, so the logged lr must divide the index down
+        k_accum = max(cfg.optim.grad_accum, 1)
+        self.lr_for_logging = (
+            self.schedule if k_accum == 1
+            else (lambda t: self.schedule(t // k_accum))
+        )
         state = create_train_state(
             self.model, jax.random.PRNGKey(cfg.seed), (1, d.img_size, d.img_size, 3), tx
         )
@@ -160,7 +167,7 @@ class Trainer:
                 ignore_index=ign,
                 loss_type=cfg.loss_type,
                 use_dice=cfg.use_dice,
-                learning_rate_fn=self.schedule,
+                learning_rate_fn=self.lr_for_logging,
             )
 
         def fused_eval_step(state, raw_batch, hist):
@@ -256,16 +263,27 @@ class Trainer:
                 self.cfg.model.head,
             )
             ckpt_params = tree["params"]
+            ckpt_stats = tree.get("batch_stats") or {}
         else:
             src = CM(path)
             step = src.best_step() or src.latest_step()
             restored = src.mngr.restore(step)
             ckpt_params = restored["state"]["params"]
+            ckpt_stats = restored["state"].get("batch_stats") or {}
             src.close()
         merged, trainable = load_params_for_finetune(
             self.state.params, ckpt_params, freeze=freeze
         )
         state = self.state.replace(params=jax.device_put(merged, self.replicated))
+        if ckpt_stats and self.state.batch_stats:
+            # BN running stats must travel with the weights, or eval-mode
+            # forward runs converted BN layers against init statistics
+            merged_stats, _ = load_params_for_finetune(
+                self.state.batch_stats, ckpt_stats, freeze=False
+            )
+            state = state.replace(
+                batch_stats=jax.device_put(merged_stats, self.replicated)
+            )
         if freeze:
             frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
             tx = optax.chain(state.tx, optax.masked(optax.set_to_zero(), frozen))

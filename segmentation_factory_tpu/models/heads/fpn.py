@@ -12,7 +12,11 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from segmentation_factory_tpu.models.layers import ConvModule, resize, resize_like
+from segmentation_factory_tpu.models.layers import (
+    ConvModule,
+    resize_like,
+    resize_nearest_legacy,
+)
 from segmentation_factory_tpu.registry import register_head
 
 
@@ -49,10 +53,12 @@ class FPNHead(nn.Module):
             )(f, train=train)
             if self.torch_parity:
                 if x.shape[1:3] != lat.shape[1:3]:
-                    x = resize_like(x, lat, method="nearest")
+                    # torch legacy floor-indexed nearest (F.interpolate
+                    # default), NOT half-pixel nearest
+                    x = resize_nearest_legacy(x, lat.shape[1:3])
                 x = x + lat
                 b, h, w, c = x.shape
-                x = resize(x, (2 * h, 2 * w), method="nearest")
+                x = resize_nearest_legacy(x, (2 * h, 2 * w))
             else:
                 x = resize_like(x, lat) + lat
             x = ConvModule(

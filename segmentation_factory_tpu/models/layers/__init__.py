@@ -7,6 +7,7 @@ from segmentation_factory_tpu.models.layers.common import (  # noqa: F401
     drop_path_rates,
     resize,
     resize_align_corners,
+    resize_nearest_legacy,
     resize_torch_bicubic,
     resize_like,
     trunc_normal_init,

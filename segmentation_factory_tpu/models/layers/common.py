@@ -227,6 +227,19 @@ def resize_torch_bicubic(x: Array, size: Tuple[int, int]) -> Array:
     return out.astype(x.dtype)
 
 
+def resize_nearest_legacy(x: Array, size: Tuple[int, int]) -> Array:
+    """torch legacy ``F.interpolate(mode='nearest')``: floor-based source
+    indexing ``src = floor(dst * in/out)`` (jax.image nearest uses half-pixel
+    centers, which picks different pixels at non-integer ratios)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = size
+    if (h, w) == (oh, ow):
+        return x
+    ys = jnp.clip((jnp.arange(oh) * h) // oh, 0, h - 1)
+    xs = jnp.clip((jnp.arange(ow) * w) // ow, 0, w - 1)
+    return x[:, ys][:, :, xs]
+
+
 def drop_path_rates(total_rate: float, depths: Sequence[int]) -> list:
     """Per-block linearly increasing stochastic-depth rates (timm convention)."""
     total = sum(depths)

@@ -40,6 +40,8 @@ def _with_noise(
     noise_std: float = 1.0,
     seed: int = 42,
     total_steps: int = 0,
+    **_other_schedules_knobs,  # the CLI exposes the union of all schedules'
+    # flags; knobs for a different schedule are ignored here
 ):
     """Seeded multiplicative LR noise (ref scheduler_main.py:90-117).
 
@@ -148,14 +150,18 @@ def step_schedule(
 
 def multistep_schedule(
     base_lr: float,
-    milestones: Sequence[int],
+    milestones: Optional[Sequence[int]] = None,
     decay_rate: float = 0.1,
     warmup_steps: int = 0,
     warmup_lr_init: float = 1e-6,
     total_steps: int = 0,
     **noise_kwargs,
 ) -> Callable:
-    """Milestone decay (ref multistep_lr.py:11+)."""
+    """Milestone decay (ref multistep_lr.py:11+). Default milestones:
+    1/2 and 3/4 of the run (iteration-granular analogue of the usual
+    30/60-epoch recipe)."""
+    if milestones is None:
+        milestones = [max(total_steps // 2, 1), max(3 * total_steps // 4, 2)]
     ms = jnp.asarray(sorted(milestones), jnp.float32)
 
     def fn(t):
@@ -204,7 +210,8 @@ class PlateauSchedule:
 
     def __init__(self, base_lr: float, mode: str = "max", factor: float = 0.1,
                  patience: int = 10, min_lr: float = 1e-6,
-                 warmup_steps: int = 0, warmup_lr_init: float = 1e-6):
+                 warmup_steps: int = 0, warmup_lr_init: float = 1e-6,
+                 **_other_schedules_knobs):
         self.base_lr = base_lr
         self.lr = base_lr
         self.mode = mode
@@ -255,10 +262,18 @@ SCHEDULES = {
 
 def create_schedule(name: str, base_lr: float, total_steps: int, **kwargs) -> Callable:
     """Factory (ref scheduler_factory.py:12-111). ``total_steps`` is in
-    optimizer updates = epochs * steps_per_epoch (iteration-granular)."""
+    optimizer updates = epochs * steps_per_epoch (iteration-granular).
+
+    The CLI exposes the UNION of every schedule's knobs (like the reference
+    argparse); each schedule ignores the ones it doesn't take (the
+    ``**noise_kwargs`` / plateau sinks swallow extras).
+    """
     key = name.lower()
     if key not in SCHEDULES:
         raise KeyError(f"unknown schedule {name!r}; available: {sorted(SCHEDULES)}")
+    if key == "step" and "decay_steps" not in kwargs:
+        # iteration-granular analogue of timm's decay_epochs default
+        kwargs["decay_steps"] = max(total_steps // 3, 1)
     if key in ("step", "multistep", "constant"):
         return SCHEDULES[key](base_lr, total_steps=total_steps, **kwargs)
     return SCHEDULES[key](base_lr, total_steps, **kwargs)

@@ -96,3 +96,36 @@ def test_fpnhead_torch_parity(ref_fpn):
     out_fast = jh_fast.apply({"params": p, "batch_stats": s},
                              [jnp.asarray(f) for f in feats], train=False)
     assert out_fast.shape[1:3] == (32, 32)  # decodes at the finest stride
+
+
+def test_fpnhead_torch_parity_odd_pyramid(ref_fpn):
+    """Non-2:1 level ratios (ceil-division pyramids from odd inputs) exercise
+    torch's legacy floor-indexed nearest — half-pixel nearest picks different
+    pixels there."""
+    import torch
+
+    torch.manual_seed(1)
+    chans = [16, 32, 64, 128]
+    sizes = [33, 17, 9, 5]
+    th = ref_fpn.FPNHead(chans, channel=32, num_classes=7).eval()
+    with torch.no_grad():
+        for m in th.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.9, 1.1)
+    sd = {k: v.detach().numpy() for k, v in th.state_dict().items()}
+    p, s = convert_fpnhead(sd, num_levels=4)
+
+    rng = np.random.default_rng(1)
+    feats = [rng.normal(size=(1, sz, sz, c)).astype(np.float32)
+             for sz, c in zip(sizes, chans)]
+    with torch.no_grad():
+        want = th([torch.from_numpy(f.transpose(0, 3, 1, 2).copy())
+                   for f in feats]).numpy()
+    jh = FPNHead(channels=chans, num_classes=7, embed_dim=32,
+                 torch_parity=True, dtype=jnp.float32)
+    got = jh.apply({"params": p, "batch_stats": s},
+                   [jnp.asarray(f) for f in feats], train=False)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -92,3 +92,36 @@ def test_trainer_finetune_freeze_only_updates_classifier(tmp_path):
     np.testing.assert_array_equal(bb_before, bb_after)  # frozen
     assert not np.array_equal(head_before, head_after)  # classifier trained
     t2.ckpt.close()
+
+
+def test_finetune_merge_tolerates_missing_subtrees():
+    """Converted reference checkpoints may lack subtrees the flax model
+    always instantiates (e.g. a DeepLabV3 saved with aux_for_deeplab=False);
+    the merge keeps the fresh init for those instead of crashing."""
+    import jax.numpy as jnp
+
+    from segmentation_factory_tpu.checkpoint import load_params_for_finetune
+
+    params = {
+        "backbone": {"w": jnp.zeros((2, 2))},
+        "decode_head": {
+            "aux": {"Dense_0": {"kernel": jnp.zeros((2, 3))}},
+            "conv_seg": {"kernel": jnp.zeros((2, 5))},
+            "main": {"kernel": jnp.zeros((4, 4))},
+        },
+    }
+    ckpt = {  # no aux, classifier present (must be ignored), main loads
+        "backbone": {"w": jnp.ones((2, 2))},
+        "decode_head": {
+            "conv_seg": {"kernel": jnp.ones((2, 5))},
+            "main": {"kernel": jnp.ones((4, 4))},
+        },
+    }
+    merged, mask = load_params_for_finetune(params, ckpt, freeze=True)
+    assert float(merged["backbone"]["w"].sum()) == 4.0  # loaded
+    assert float(merged["decode_head"]["main"]["kernel"].sum()) == 16.0
+    assert float(merged["decode_head"]["conv_seg"]["kernel"].sum()) == 0.0  # kept fresh
+    assert float(merged["decode_head"]["aux"]["Dense_0"]["kernel"].sum()) == 0.0
+    # freeze mask: classifier trainable, rest frozen
+    assert mask["decode_head"]["conv_seg"]["kernel"] is True
+    assert mask["backbone"]["w"] is False
