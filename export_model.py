@@ -21,6 +21,11 @@ def main():
     p.add_argument("--out", default="model.stablehlo")
     p.add_argument("--static-batch", type=int, default=None,
                    help="fix the batch dim instead of exporting symbolically")
+    p.add_argument("--format", default="stablehlo",
+                   choices=["stablehlo", "savedmodel"],
+                   help="stablehlo (XLA-native) or a TF SavedModel via "
+                        "jax2tf (the bridge to actual .onnx through "
+                        "offline tf2onnx)")
     p.add_argument("--skip-validate", action="store_true")
     args = p.parse_args()
 
@@ -43,6 +48,27 @@ def main():
         s = SemSeg(args.backbone, args.head, args.nb_classes, ckpt_dir=args.ckpt,
                    img_size=args.img_size)
         variables = s.variables
+
+    if args.format == "savedmodel":
+        from segmentation_factory_tpu.export import (
+            export_savedmodel,
+            validate_savedmodel,
+        )
+
+        export_savedmodel(
+            model, variables, args.img_size, args.out,
+            dynamic_batch=args.static_batch is None,
+        )
+        print(f"exported SavedModel -> {args.out}")
+        if not args.skip_validate:
+            ok, diff = validate_savedmodel(
+                model, variables, args.out, args.img_size
+            )
+            print(f"parity check: {'OK' if ok else 'FAIL'} "
+                  f"(max abs diff {diff:.2e})")
+            if not ok:
+                raise SystemExit(1)
+        return
 
     export_model(
         model,

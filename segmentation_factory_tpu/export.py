@@ -57,6 +57,59 @@ def load_exported(path: str):
         return jax_export.deserialize(f.read())
 
 
+def export_savedmodel(
+    model,
+    variables,
+    img_size: int,
+    out_dir: str,
+    dynamic_batch: bool = True,
+):
+    """TF SavedModel export via jax2tf — a second deployment artifact for
+    TF-serving stacks, and the bridge to actual .onnx (offline
+    ``python -m tf2onnx.convert --saved-model ...``), completing the
+    reference's ONNX pipeline (onnx_export.py) for consumers that need the
+    ONNX container rather than StableHLO."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    def forward(images):
+        return model.apply(variables, images, train=False)
+
+    poly = f"(b, {img_size}, {img_size}, 3)" if dynamic_batch else None
+    tf_fn = tf.function(
+        jax2tf.convert(forward, polymorphic_shapes=[poly] if poly else None),
+        autograph=False,
+        input_signature=[
+            tf.TensorSpec([None if dynamic_batch else 1, img_size, img_size, 3],
+                          tf.float32)
+        ],
+    )
+    module = tf.Module()
+    module.serve = tf_fn
+    tf.saved_model.save(
+        module, out_dir,
+        signatures={"serving_default": tf_fn.get_concrete_function()},
+    )
+    return out_dir
+
+
+def validate_savedmodel(
+    model, variables, out_dir: str, img_size: int, batch: int = 2,
+    atol: float = 5e-2,
+) -> Tuple[bool, float]:
+    """Logit parity of the reloaded SavedModel vs the live jax model."""
+    import tensorflow as tf
+
+    x = np.random.default_rng(0).normal(
+        size=(batch, img_size, img_size, 3)).astype(np.float32)
+    live = np.asarray(model.apply(variables, jnp.asarray(x), train=False),
+                      np.float32)
+    loaded = tf.saved_model.load(out_dir)
+    got = np.asarray(loaded.serve(tf.constant(x)), np.float32)
+    diff = float(np.max(np.abs(live - got)))
+    return bool(diff <= atol), diff
+
+
 def validate_export(
     model,
     variables,

@@ -123,3 +123,31 @@ def test_visualize_helpers(tmp_path):
     rgb = colorize_mask(seg, ds.PALETTE)
     named = draw_class_names(rgb, seg, ds.CLASSES, min_area=10)
     assert named.shape == rgb.shape
+
+
+def test_savedmodel_export_parity(tmp_path):
+    """jax2tf SavedModel round-trip reproduces the live logits (the bridge
+    to actual .onnx via offline tf2onnx)."""
+    import pytest
+
+    tf = pytest.importorskip("tensorflow")
+    del tf
+
+    import jax
+    import jax.numpy as jnp
+
+    from segmentation_factory_tpu.export import (
+        export_savedmodel,
+        validate_savedmodel,
+    )
+    from segmentation_factory_tpu.models import build_model
+
+    model = build_model("mit_b0", "segformerhead", num_classes=4,
+                        dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    v = model.init({"params": rng, "dropout": rng, "droppath": rng},
+                   jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    out = str(tmp_path / "sm")
+    export_savedmodel(model, v, 32, out)
+    ok, diff = validate_savedmodel(model, v, out, 32, atol=1e-4)
+    assert ok, f"SavedModel logits diverge: {diff}"
