@@ -29,6 +29,10 @@ def main():
     p.add_argument("--slide", action="store_true")
     p.add_argument("--crop", type=int, default=None, help="sliding-window crop")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--export-artifact", default=None,
+                   help="validate a serialized .stablehlo artifact instead "
+                        "of the live model (the reference's onnx_validate "
+                        "metric re-run, onnx_validate.py:99-156)")
     args = p.parse_args()
 
     import jax
@@ -52,6 +56,14 @@ def main():
     nc = args.nb_classes or DEFAULT_CLASSES[args.dataset.lower()]
     seg = SemSeg(args.backbone, args.head, nc, ckpt_dir=args.ckpt,
                  img_size=args.img_size)
+    if args.export_artifact:
+        # the deployed artifact becomes the forward fn: dataset metrics are
+        # then an end-to-end check of the EXPORTED graph, like the ONNX
+        # Runtime re-run in the reference
+        from segmentation_factory_tpu.export import load_exported
+
+        exported = load_exported(args.export_artifact)
+        seg.forward = lambda x: exported.call(x)
 
     if args.dataset.lower() == "synapse":
         ds = build_dataset("synapse", args.data_root, "val")
