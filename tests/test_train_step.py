@@ -151,3 +151,39 @@ def test_grad_accumulation_matches_full_batch():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s_full.params, s_acc.params
     )
     assert max(jax.tree_util.tree_leaves(diffs)) < 2e-4
+
+
+def test_all_decode_heads_learn_quadrant_task():
+    """Every registered decode head trains end-to-end on the synthetic
+    quadrant-label task (the reference only ever trains SegFormerHead; here
+    UPerHead / FPNHead / DeepLabV3 must also reduce the loss through their
+    own fusion paths)."""
+    rng = np.random.default_rng(3)
+
+    def quadrant_batch(img):
+        labels = np.zeros((4, img, img), np.int32)
+        labels[:, img // 2:, :] += 2
+        labels[:, :, img // 2:] += 1  # 4 quadrant classes
+        images = labels[..., None].repeat(3, -1).astype(np.float32)
+        images += rng.normal(scale=0.1, size=images.shape)
+        return {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+
+    # deeplabv3 decodes from the stride-32 map, which is a single pixel at
+    # 32^2 — it needs a 64^2 canvas (2x2 at stride 32 = quadrant granularity)
+    # and more steps to beat its ASPP Dropout(0.5) noise
+    for head, img, steps in (("uperhead", 32, 12), ("fpnhead", 32, 12),
+                             ("deeplabv3", 64, 30)):
+        batch = quadrant_batch(img)
+        model = build_model("mit_b0", head, num_classes=4, dtype=jnp.float32,
+                            embed_dim=64)
+        sched = create_schedule("constant", 3e-3, total_steps=100)
+        tx = create_optimizer("adamw", sched, clip_grad=None)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   (1, img, img, 3), tx)
+        step = jax.jit(make_train_step(learning_rate_fn=sched, use_dice=False))
+        losses = []
+        for i in range(steps):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all(), (head, losses)
+        assert losses[-1] < losses[0] * 0.8, (head, losses[0], losses[-1])
