@@ -172,6 +172,8 @@ def test_all_decode_heads_learn_quadrant_task():
     # 32^2 — it needs a 64^2 canvas (2x2 at stride 32 = quadrant granularity)
     # and more steps to beat its ASPP Dropout(0.5) noise
     for head, img, steps in (("uperhead", 32, 12), ("fpnhead", 32, 12),
+                             ("efficientvitseghead", 32, 12),
+                             ("maskrcnnsegmentationhead", 32, 12),
                              ("deeplabv3", 64, 30)):
         batch = quadrant_batch(img)
         model = build_model("mit_b0", head, num_classes=4, dtype=jnp.float32,
