@@ -154,12 +154,44 @@ class VOCSegmentation(SegDataset):
             base, "SegmentationClassAug" if aug else "SegmentationClass"
         )
         if aug and not os.path.isdir(mask_dir):
+            aug = False
             mask_dir = os.path.join(base, "SegmentationClass")
-        split_file = os.path.join(
-            base, "ImageSets", "Segmentation", f"{split}.txt"
-        )
+        if aug and split == "train":
+            # the aug TRAIN list is train_aug.txt (10582 images, ref
+            # voc.py:188-192 reads it from the dataset root) — NOT the
+            # 1464-image ImageSets/Segmentation/train.txt
+            candidates = [
+                os.path.join(base, "ImageSets", "Segmentation", "train_aug.txt"),
+                os.path.join(base, "train_aug.txt"),
+                os.path.join(root, "train_aug.txt"),
+            ]
+            split_file = next((c for c in candidates if os.path.isfile(c)),
+                              None)
+            if split_file is None:
+                import warnings
+
+                warnings.warn(
+                    "SegmentationClassAug present but train_aug.txt not "
+                    "found; falling back to the 1464-image train.txt list"
+                )
+                split_file = os.path.join(
+                    base, "ImageSets", "Segmentation", "train.txt"
+                )
+        else:
+            split_file = os.path.join(
+                base, "ImageSets", "Segmentation", f"{split}.txt"
+            )
         with open(split_file) as f:
-            names = [ln.strip() for ln in f if ln.strip()]
+            # robust to both bare-name lists and the "path path" variant of
+            # train_aug.txt circulating with the SBD aug masks
+            names = []
+            for ln in f:
+                tok = ln.split()[0] if ln.strip() else ""
+                if not tok:
+                    continue
+                if "/" in tok:
+                    tok = os.path.splitext(os.path.basename(tok))[0]
+                names.append(tok)
         ext = ".png"
         for n in names:
             self.pairs.append(
@@ -300,8 +332,9 @@ class SynapseCT(SegDataset):
         with open(list_path) as f:
             self.names = [ln.strip() for ln in f if ln.strip()]
         self.pairs = [(n, n) for n in self.names]
-        rng = np.random.default_rng(2)
-        self.PALETTE = rng.integers(0, 255, (9, 3)).astype(np.uint8)
+        from segmentation_factory_tpu.data.visualize import random_palette
+
+        self.PALETTE = random_palette(9, seed=2)
 
     def load(self, i: int):
         name = self.names[i]
@@ -344,8 +377,9 @@ class Synthetic(SegDataset):
         self._size = size
         self._seed = seed
         self.pairs = [(str(i), str(i)) for i in range(length)]
-        rng = np.random.default_rng(3)
-        self.PALETTE = rng.integers(0, 255, (num_classes, 3)).astype(np.uint8)
+        from segmentation_factory_tpu.data.visualize import random_palette
+
+        self.PALETTE = random_palette(num_classes, seed=3)
 
     def load(self, i: int):
         rng = np.random.default_rng(self._seed * 100003 + i)

@@ -107,8 +107,7 @@ class Loader:
                 pad_to = self.batch - len(chunk)
                 results = list(
                     pool.map(
-                        lambda a: self._load_one(a[1], base + int(a[1])),
-                        enumerate(chunk),
+                        lambda i: self._load_one(i, base + int(i)), chunk
                     )
                 )
                 imgs = np.stack([r[0] for r in results])
@@ -137,15 +136,24 @@ def prefetch_to_device(iterator, sharding=None, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
 
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        if sharding is None:
+            return jax.device_put(x)
+        if multihost:
+            # each host loaded ITS shard of the global batch; assemble the
+            # global array (global batch = per-host batch * hosts, matching
+            # the reference's per-rank semantics, README.md:64-65) instead
+            # of device_put, which would treat the local rows as the whole
+            # global array and silently drop most samples
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
     def producer():
         try:
             for batch in iterator:
-                if sharding is not None:
-                    batch = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, sharding), batch
-                    )
-                else:
-                    batch = jax.tree_util.tree_map(jax.device_put, batch)
+                batch = jax.tree_util.tree_map(put, batch)
                 q.put(batch)
         except Exception as e:  # surfaced via the queue, not the thread
             q.put(e)

@@ -89,11 +89,17 @@ class Trainer:
         total_steps = max(
             steps_per_epoch * cfg.optim.epochs // max(cfg.optim.grad_accum, 1), 1
         )
+        warmup = min(cfg.optim.warmup_steps, total_steps // 10)
+        if warmup < cfg.optim.warmup_steps:
+            print(
+                f"warning: warmup_steps {cfg.optim.warmup_steps} exceeds 10% "
+                f"of the run ({total_steps} updates); capped to {warmup}"
+            )
         self.schedule = create_schedule(
             cfg.optim.sched,
             cfg.optim.lr,
             total_steps=total_steps,
-            warmup_steps=min(cfg.optim.warmup_steps, total_steps // 10),
+            warmup_steps=warmup,
             min_lr=cfg.optim.min_lr,
             **(cfg.optim.sched_kwargs or {}),
         )
@@ -322,6 +328,36 @@ class Trainer:
         ref estimate_model.py-style — BASELINE config #5 end-to-end)."""
         cfg = self.cfg
         nc = cfg.model.num_classes
+        if cfg.data.dataset.lower() == "synapse":
+            # the synapse val split is volumetric (per-case .h5) — the slice
+            # Loader cannot serve it (datasets.py raises); route through the
+            # per-case sliding protocol (ref synapse.py:65-81 returns dicts
+            # its own engine can't consume; this is the working version)
+            from segmentation_factory_tpu.infer import evaluate_volumes
+
+            def fwd(x):
+                return self.state.apply_fn(
+                    {"params": self.state.params,
+                     **({"batch_stats": self.state.batch_stats}
+                        if self.state.batch_stats else {})},
+                    x, train=False,
+                )
+
+            m = evaluate_volumes(
+                fwd, self.val_loader.ds.volumes(), nc,
+                crop=cfg.eval.crop or cfg.data.img_size,
+            )
+            m.pop("per_case", None)
+            # best-ckpt tracking and results logging key on mIoU/mF1/aAcc;
+            # for the dice protocol the foreground dice is the headline
+            dice = m["mean_dice_fg"]
+            m.setdefault("mIoU", dice)
+            m.setdefault("mF1", dice)
+            m.setdefault("mAcc", dice)
+            m.setdefault("aAcc", dice)
+            m.setdefault("ious", m.get("per_class_dice", []))
+            m.setdefault("f1s", m.get("per_class_dice", []))
+            return m
         hist = jax.device_put(jnp.zeros((nc, nc), jnp.uint32), self.replicated)
         it = prefetch_to_device(iter(self.val_loader), self.batch_sharding)
         if cfg.eval.protocol == "whole":

@@ -59,6 +59,9 @@ def overlay(image_u8: np.ndarray, seg_rgb: np.ndarray, alpha: float = 0.6) -> np
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+_SLIDE_JIT_CACHE: dict = {}
+
+
 def slide_inference(
     forward: Callable[[jax.Array], jax.Array],
     image: jax.Array,  # (1, H, W, 3) normalized
@@ -70,7 +73,31 @@ def slide_inference(
 
     New capability vs the reference (whole-image only, SURVEY §3.3 note);
     required for Cityscapes 1024^2 and Synapse volumes (BASELINE configs).
+
+    The whole window loop is compiled as ONE jitted program per
+    (forward, shape, crop, stride) — eager per-window dynamic_slice/update
+    dispatch is pathological on remote TPU backends (CLAUDE.md).
     """
+    if isinstance(image, jax.core.Tracer):  # already inside a trace
+        return _slide_impl(forward, image, num_classes, crop, stride)
+    key = (id(forward), image.shape, image.dtype.name, num_classes, crop,
+           stride)
+    fn = _SLIDE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda img: _slide_impl(forward, img, num_classes, crop, stride)
+        )
+        _SLIDE_JIT_CACHE[key] = fn
+    return fn(image)
+
+
+def _slide_impl(
+    forward: Callable[[jax.Array], jax.Array],
+    image: jax.Array,
+    num_classes: int,
+    crop: int,
+    stride: Optional[int] = None,
+) -> jax.Array:
     stride = stride or (crop * 2) // 3
     b, h, w, _ = image.shape
     if h <= crop and w <= crop:

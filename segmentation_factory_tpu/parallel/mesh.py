@@ -127,9 +127,26 @@ def initialize_multihost() -> None:
     Equivalent of torch.distributed.init_process_group (ref utils.py:287-310):
     JAX discovers the slice topology itself; no env rendezvous knobs needed.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    import os
+    import warnings
+
+    # NB: do NOT touch jax.process_count()/jax.devices() here — any backend
+    # query initializes the local runtime first, after which
+    # jax.distributed.initialize() is guaranteed to fail. Decide from the
+    # environment instead (the same signals jax itself auto-detects).
+    coord_env = (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    if not any(os.environ.get(k) for k in coord_env):
+        return  # single-host run (tests, notebooks, single chip)
     try:
         jax.distributed.initialize()
-    except Exception:  # single-process run (tests, notebooks, single chip)
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e):
+            return
+        warnings.warn(
+            f"jax.distributed.initialize() failed ({e}); continuing as a "
+            "single-host run — on a multi-host cluster this means every "
+            "process trains independently with identical seeds"
+        )

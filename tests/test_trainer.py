@@ -102,3 +102,28 @@ def test_evaluate_protocols_agree(tmp_path, ds_pair):
         assert np.isfinite(m["mIoU"]) and 0.0 <= m["mIoU"] <= 100.0
     # protocols see the same data (val canvas 32): results should be close
     assert abs(m_slide["aAcc"] - m_whole["aAcc"]) < 15.0
+
+
+def test_trainer_evaluate_routes_synapse_to_volumes(tmp_path, ds_pair):
+    """cfg.data.dataset='synapse' must route Trainer.evaluate through the
+    per-case volumetric protocol — the slice Loader raises on the val split
+    (datasets.py), which previously killed training at the first eval."""
+    train_ds, val_ds = ds_pair
+    cfg = tiny_cfg(tmp_path / "syn", epochs=1)
+    t = Trainer(cfg, train_ds=train_ds, val_ds=val_ds)
+    t.cfg.data.dataset = "synapse"
+
+    class _VolDS:
+        def volumes(self):
+            rng = np.random.default_rng(0)
+            for name in ("case1", "case2"):
+                yield (name,
+                       rng.uniform(0, 1, (3, 32, 32)).astype(np.float32),
+                       rng.integers(0, cfg.model.num_classes,
+                                    (3, 32, 32)).astype(np.int32))
+
+    t.val_loader.ds = _VolDS()
+    m = t.evaluate()
+    assert "mean_dice_fg" in m and "mIoU" in m
+    assert np.isfinite(m["mean_dice_fg"])
+    t.ckpt.close()
