@@ -80,8 +80,15 @@ def slide_inference(
     """
     if isinstance(image, jax.core.Tracer):  # already inside a trace
         return _slide_impl(forward, image, num_classes, crop, stride)
-    key = (id(forward), image.shape, image.dtype.name, num_classes, crop,
-           stride)
+    # bound methods are fresh objects per attribute access — key on the
+    # underlying function + receiver identity so `seg.forward` hits the
+    # same cache entry every batch (the cached closure keeps the receiver
+    # alive, so the id stays stable)
+    fkey = (
+        getattr(forward, "__func__", forward),
+        id(getattr(forward, "__self__", None)),
+    )
+    key = (fkey, image.shape, image.dtype.name, num_classes, crop, stride)
     fn = _SLIDE_JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(

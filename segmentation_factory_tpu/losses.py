@@ -22,6 +22,17 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def sigmoid_bce(logits: Array, targets: Array) -> Array:
+    """Numerically stable per-element sigmoid binary cross-entropy
+    (max(x,0) - x*t + log1p(exp(-|x|))) — the one shared implementation for
+    RPN objectness, Mask R-CNN mask loss, and the Mask2Former mask loss."""
+    return (
+        jnp.maximum(logits, 0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
 def _flatten(logits: Array, labels: Array):
     c = logits.shape[-1]
     return logits.reshape(-1, c).astype(jnp.float32), labels.reshape(-1)
@@ -118,22 +129,32 @@ def dice_loss(
     logits: Array,
     labels: Array,
     ignore_index: int = 255,
-    smooth: float = 1.0,
+    smooth: float = 1e-6,
 ) -> Array:
     """Multiclass soft-dice over softmax probabilities.
 
-    Mirrors the engine-side dice (ref losses.py:141-177: per-class dice
-    averaged over classes, ignore pixels excluded via one-hot masking,
-    ref build_target losses.py:126-138).
+    Mirrors the engine-side dice (ref losses.py:141-177) EXACTLY: dice is
+    computed PER IMAGE PER CLASS (dice_coeff loops the batch; multiclass
+    loops channels), with the empty-set rule — when an image has neither
+    probability mass nor target pixels for a class, sets_sum is replaced by
+    2*inter so its dice is 1 (ref :150-152) — then averaged. Batch-pooled
+    sums would blend images and change gradients whenever class presence
+    varies across the batch.
     """
+    b = logits.shape[0]
     num_classes = logits.shape[-1]
-    l2, l1 = _flatten(logits, labels)
-    probs = jax.nn.softmax(l2, axis=-1)
-    target, valid = _one_hot_ignore(l1, num_classes, ignore_index)
-    probs = probs * valid[:, None].astype(jnp.float32)
-    inter = jnp.sum(probs * target, axis=0)
-    denom = jnp.sum(probs, axis=0) + jnp.sum(target, axis=0)
-    dice = (2.0 * inter + smooth) / (denom + smooth)
+    probs = jax.nn.softmax(
+        logits.astype(jnp.float32).reshape(b, -1, num_classes), axis=-1
+    )  # (B, N, C)
+    target, valid = _one_hot_ignore(
+        labels.reshape(-1), num_classes, ignore_index
+    )
+    target = target.reshape(b, -1, num_classes)
+    probs = probs * valid.reshape(b, -1, 1).astype(jnp.float32)
+    inter = jnp.sum(probs * target, axis=1)  # (B, C)
+    sets_sum = jnp.sum(probs, axis=1) + jnp.sum(target, axis=1)
+    sets_sum = jnp.where(sets_sum == 0.0, 2.0 * inter, sets_sum)
+    dice = (2.0 * inter + smooth) / (sets_sum + smooth)
     return 1.0 - jnp.mean(dice)
 
 

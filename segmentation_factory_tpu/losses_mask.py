@@ -35,9 +35,15 @@ def semantic_targets(
     oh = oh * valid_px[..., None]
     b, h, w, c = oh.shape
     ph, pw = pred_hw
-    fy, fx = h // ph, w // pw
-    if fy > 1 or fx > 1:
-        oh = oh[:, : ph * fy, : pw * fx].reshape(b, ph, fy, pw, fx, c).mean((2, 4))
+    if (h, w) != (ph, pw):
+        if h % ph == 0 and w % pw == 0:
+            # exact area average for integer factors
+            fy, fx = h // ph, w // pw
+            oh = oh.reshape(b, ph, fy, pw, fx, c).mean((2, 4))
+        else:
+            # non-integer ratio (odd canvases): bilinear soft resize keeps
+            # targets aligned instead of truncating the bottom/right margin
+            oh = jax.image.resize(oh, (b, ph, pw, c), method="linear")
     present = oh.sum(axis=(1, 2)) > 0  # (B, C)
     return oh.transpose(0, 3, 1, 2), present
 
@@ -146,16 +152,19 @@ def mask2former_loss(
         w = jnp.where(tgt_cls == num_classes, no_object_weight, 1.0)
         cls_loss = jnp.sum(ce * w) / jnp.sum(w)
 
-        # masks: only matched pairs
+        # masks: only matched pairs. A present target can stay unmatched
+        # when present classes exceed num_queries; it must not supervise
+        # query 0's mask through the clip below
+        present = present & (assign >= 0)
         qidx = jnp.clip(assign, 0)  # (B, C)
         pm = jnp.take_along_axis(
             pred_masks.astype(jnp.float32),
             qidx[:, :, None, None],
             axis=1,
         )  # (B, C, h, w)
-        bce = (
-            jnp.maximum(pm, 0) - pm * tm + jnp.log1p(jnp.exp(-jnp.abs(pm)))
-        )
+        from segmentation_factory_tpu.losses import sigmoid_bce
+
+        bce = sigmoid_bce(pm, tm)
         bce_loss = jnp.sum(bce.mean((2, 3)) * present) / jnp.maximum(present.sum(), 1.0)
         sig = jax.nn.sigmoid(pm)
         inter = jnp.sum(sig * tm, axis=(2, 3))

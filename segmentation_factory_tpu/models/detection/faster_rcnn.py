@@ -75,7 +75,9 @@ class FasterRCNN(nn.Module):
         sample_w = None
         if train and targets is not None:
             rng = rng if rng is not None else self.make_rng("detection")
-            rngs = jax.random.split(rng, b + 1)
+            # disjoint key halves: RPN sampling and RoI sampling must not
+            # share uniform streams across images
+            rngs = jax.random.split(rng, 2 * b)
             obj_l, box_l = jax.vmap(
                 lambda r, o, d, gb, gv: rpn_lib.rpn_loss(
                     r, o.astype(jnp.float32), d.astype(jnp.float32), anchors, gb, gv
@@ -83,11 +85,17 @@ class FasterRCNN(nn.Module):
             )(rngs[:b], obj, dlt, targets["boxes"], targets["valid"])
             losses["loss_objectness"] = obj_l.mean()
             losses["loss_rpn_box_reg"] = box_l.mean()
+            # add_gt_proposals (ref roi_head.py:280-333): append the gt boxes
+            # so the box/mask heads see guaranteed positives from step 1
+            proposals = jnp.concatenate([proposals, targets["boxes"]], axis=1)
+            prop_valid = jnp.concatenate(
+                [prop_valid, targets["valid"].astype(prop_valid.dtype)], axis=1
+            )
             labels, reg_targets, sample_w, matched = jax.vmap(
                 lambda r, p, pv, gb, gl, gv: select_training_samples(
                     r, p, pv, gb, gl, gv
                 )
-            )(rngs[1:], proposals, prop_valid, targets["boxes"],
+            )(rngs[b:], proposals, prop_valid, targets["boxes"],
               targets["labels"], targets["valid"])
 
         # box head over all proposals
@@ -111,18 +119,30 @@ class FasterRCNN(nn.Module):
             losses["loss_classifier"] = cls_l.mean()
             losses["loss_box_reg"] = box_l.mean()
 
-        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
-            lambda cl, bd, pr, pv: postprocess_detections(
-                cl, bd, pr, pv, (img_h, img_w),
-                detections_per_img=self.detections_per_img,
-            )
-        )(class_logits, box_deltas, proposals, prop_valid)
-        detections = {
-            "boxes": det_boxes,
-            "scores": det_scores,
-            "labels": det_labels,
-            "valid": det_valid,
-        }
+        if train and targets is not None:
+            # detections are discarded in training — the per-class NMS is
+            # pure dead compute there (the reference's eager branch skips
+            # it the same way, faster_rcnn.py:51-115)
+            d = self.detections_per_img
+            detections = {
+                "boxes": jnp.zeros((b, d, 4), jnp.float32),
+                "scores": jnp.zeros((b, d), jnp.float32),
+                "labels": jnp.zeros((b, d), jnp.int32),
+                "valid": jnp.zeros((b, d), bool),
+            }
+        else:
+            det_boxes, det_scores, det_labels, det_valid = jax.vmap(
+                lambda cl, bd, pr, pv: postprocess_detections(
+                    cl, bd, pr, pv, (img_h, img_w),
+                    detections_per_img=self.detections_per_img,
+                )
+            )(class_logits, box_deltas, proposals, prop_valid)
+            detections = {
+                "boxes": det_boxes,
+                "scores": det_scores,
+                "labels": det_labels,
+                "valid": det_valid,
+            }
 
         if self.with_mask:
             mask_boxes = proposals if (train and targets is not None) else det_boxes

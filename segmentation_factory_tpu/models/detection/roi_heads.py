@@ -120,11 +120,9 @@ def maskrcnn_loss(
     picked = jnp.take_along_axis(
         mask_logits, labels[:, None, None, None], axis=-1
     )[..., 0]
-    bce = (
-        jnp.maximum(picked, 0)
-        - picked * mask_targets
-        + jnp.log1p(jnp.exp(-jnp.abs(picked)))
-    ).mean(axis=(1, 2))
+    from segmentation_factory_tpu.losses import sigmoid_bce
+
+    bce = sigmoid_bce(picked, mask_targets).mean(axis=(1, 2))
     pos = (labels > 0).astype(jnp.float32) * weights
     return jnp.sum(bce * pos) / jnp.maximum(jnp.sum(pos), 1.0)
 
@@ -155,7 +153,11 @@ def select_training_samples(
     )
     matched = jnp.clip(matches, 0)
     labels = jnp.where(positive, gt_labels[matched], 0)
-    reg_targets = det_utils.encode_boxes(gt_boxes[matched], proposals)
+    # encode with the SAME BoxCoder weights postprocess decodes with
+    # (ref roi_head.py:187-189 uses (10,10,5,5) for both directions)
+    reg_targets = det_utils.encode_boxes(
+        gt_boxes[matched], proposals, weights=(10.0, 10.0, 5.0, 5.0)
+    )
     return labels, reg_targets, pos_w + neg_w, matched
 
 
@@ -185,14 +187,25 @@ def postprocess_detections(
     valid = (
         fg_scores > score_thresh
     ) & jnp.repeat(prop_valid, k - 1) & box_ops.small_box_mask(fg_boxes, 1e-2)
-    masked_scores = jnp.where(valid, fg_scores, 0.0)
-    keep = box_ops.batched_nms_mask(fg_boxes, masked_scores, fg_labels, nms_thresh)
-    final = jnp.where(valid & keep, fg_scores, -jnp.inf)
+    # fixed-size pre-NMS compaction: NMS over all P*(K-1) candidates builds
+    # a quadratic IoU matrix (46k^2 fp32 ~ 8.5 GB at COCO defaults); the
+    # score-thresholded survivors are a few hundred, so a static top-k cap
+    # preserves semantics at a fraction of the cost
+    cap = min(fg_scores.shape[0], max(4 * detections_per_img, 512))
+    cand_scores, cand_idx = jax.lax.top_k(
+        jnp.where(valid, fg_scores, 0.0), cap
+    )
+    cand_boxes = fg_boxes[cand_idx]
+    cand_labels = fg_labels[cand_idx]
+    keep = box_ops.batched_nms_mask(
+        cand_boxes, cand_scores, cand_labels, nms_thresh
+    )
+    final = jnp.where(keep & (cand_scores > 0), cand_scores, -jnp.inf)
     d = min(detections_per_img, final.shape[0])
     top_vals, top_idx = jax.lax.top_k(final, d)
     return (
-        fg_boxes[top_idx],
+        cand_boxes[top_idx],
         jnp.where(jnp.isfinite(top_vals), top_vals, 0.0),
-        fg_labels[top_idx],
+        cand_labels[top_idx],
         jnp.isfinite(top_vals),
     )

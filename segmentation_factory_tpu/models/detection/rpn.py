@@ -66,29 +66,33 @@ def select_proposals(
     boxes = box_ops.clip_boxes_to_image(boxes, image_hw)
     scores = jax.nn.sigmoid(objectness)
     valid = box_ops.small_box_mask(boxes, min_size)
-    # per-level pre-NMS top-k (ref _get_top_n_idx :262-283)
-    keep_pre = jnp.zeros_like(valid)
+    # per-level pre-NMS top-k, GATHERED to a fixed candidate set (ref
+    # _get_top_n_idx :262-283). NMS over all N anchors would build an
+    # (N, N) IoU matrix — tens of GB at real resolutions; the compacted
+    # set is sum(min(pre_nms_top_n, cnt)) boxes.
+    g_boxes, g_scores, g_lvl = [], [], []
     off = 0
-    for cnt in level_counts:
+    for i, cnt in enumerate(level_counts):
         lvl_scores = jnp.where(
             valid[off : off + cnt], scores[off : off + cnt], -jnp.inf
         )
         k = min(pre_nms_top_n, cnt)
-        _, idx = jax.lax.top_k(lvl_scores, k)
-        keep_pre = keep_pre.at[off + idx].set(True)
+        vals, idx = jax.lax.top_k(lvl_scores, k)
+        g_boxes.append(boxes[off + idx])
+        # invalid entries surface as score 0 -> never kept by NMS/top-k
+        g_scores.append(jnp.where(jnp.isfinite(vals), vals, 0.0))
+        g_lvl.append(jnp.full((k,), i, jnp.int32))
         off += cnt
-    keep_pre = keep_pre & valid
-    # NMS over the union, then global top-k
-    masked_scores = jnp.where(keep_pre, scores, 0.0)
-    lvl_ids = jnp.concatenate(
-        [jnp.full((c,), i, jnp.int32) for i, c in enumerate(level_counts)]
+    cand_boxes = jnp.concatenate(g_boxes, axis=0)
+    cand_scores = jnp.concatenate(g_scores, axis=0)
+    cand_lvl = jnp.concatenate(g_lvl, axis=0)
+    nms_keep = box_ops.batched_nms_mask(
+        cand_boxes, cand_scores, cand_lvl, nms_thresh
     )
-    nms_keep = box_ops.batched_nms_mask(boxes, masked_scores, lvl_ids, nms_thresh)
-    final_mask = keep_pre & nms_keep
-    final_scores = jnp.where(final_mask, scores, -jnp.inf)
-    k = min(post_nms_top_n, boxes.shape[0])
+    final_scores = jnp.where(nms_keep & (cand_scores > 0), cand_scores, -jnp.inf)
+    k = min(post_nms_top_n, cand_boxes.shape[0])
     top_vals, top_idx = jax.lax.top_k(final_scores, k)
-    return boxes[top_idx], top_vals, jnp.isfinite(top_vals)
+    return cand_boxes[top_idx], top_vals, jnp.isfinite(top_vals)
 
 
 def rpn_loss(
@@ -113,10 +117,12 @@ def rpn_loss(
     )
     labels = positive.astype(jnp.float32)
     w = pos_w + neg_w
+    from segmentation_factory_tpu.losses import sigmoid_bce
+
     obj = jnp.asarray(objectness, jnp.float32)
-    obj_loss = jnp.sum(
-        w * (jnp.maximum(obj, 0) - obj * labels + jnp.log1p(jnp.exp(-jnp.abs(obj))))
-    ) / jnp.maximum(jnp.sum(w), 1.0)
+    obj_loss = jnp.sum(w * sigmoid_bce(obj, labels)) / jnp.maximum(
+        jnp.sum(w), 1.0
+    )
     matched_gt = gt_boxes[jnp.clip(matches, 0)]
     targets = det_utils.encode_boxes(matched_gt, anchors)
     box_l = det_utils.smooth_l1_loss(deltas, targets).sum(-1)
