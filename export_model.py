@@ -62,7 +62,8 @@ def main():
         print(f"exported SavedModel -> {args.out}")
         if not args.skip_validate:
             ok, diff = validate_savedmodel(
-                model, variables, args.out, args.img_size
+                model, variables, args.out, args.img_size,
+                batch=args.static_batch or 2,
             )
             print(f"parity check: {'OK' if ok else 'FAIL'} "
                   f"(max abs diff {diff:.2e})")
@@ -84,7 +85,8 @@ def main():
         # and accumulation order); fp32 models hold 2e-3
         tol = 5e-2
         ok, diff = validate_export(
-            model, variables, args.out, args.img_size, atol=tol, rtol=tol
+            model, variables, args.out, args.img_size,
+            batch=args.static_batch or 2, atol=tol, rtol=tol,
         )
         print(f"parity check: {'OK' if ok else 'FAIL'} (max abs diff {diff:.2e})")
         if not ok:

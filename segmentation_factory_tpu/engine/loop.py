@@ -272,7 +272,8 @@ class Trainer:
             ckpt_stats = tree.get("batch_stats") or {}
         else:
             src = CM(path)
-            step = src.best_step() or src.latest_step()
+            bs = src.best_step()
+            step = bs if bs is not None else src.latest_step()
             restored = src.mngr.restore(step)
             ckpt_params = restored["state"]["params"]
             ckpt_stats = restored["state"].get("batch_stats") or {}

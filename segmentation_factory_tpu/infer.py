@@ -319,7 +319,8 @@ class SemSeg:
         from segmentation_factory_tpu.checkpoint import CheckpointManager
 
         mngr = CheckpointManager(ckpt_dir)
-        step = mngr.best_step() or mngr.latest_step()
+        bs = mngr.best_step()
+        step = bs if bs is not None else mngr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
         restored = mngr.mngr.restore(step)

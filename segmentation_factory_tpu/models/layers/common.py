@@ -51,7 +51,10 @@ class ConvModule(nn.Module):
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
         elif isinstance(pad, tuple):
-            pad = [pad, pad]
+            # torch-style per-dim symmetric padding: (pad_h, pad_w), NOT a
+            # (low, high) pair applied to both dims
+            ph, pw = pad
+            pad = [(ph, ph), (pw, pw)]
         use_bias = self.use_bias if self.use_bias is not None else self.norm is None
         x = nn.Conv(
             self.features,
@@ -144,7 +147,7 @@ def resize(
     if (x.shape[1], x.shape[2]) == tuple(size):
         return x
     out = jax.image.resize(
-        x.astype(jnp.float32) if method == "bilinear" else x,
+        x.astype(jnp.float32) if method in ("bilinear", "linear") else x,
         (b, size[0], size[1], c),
         method=method,
         antialias=antialias,

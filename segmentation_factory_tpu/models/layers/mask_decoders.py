@@ -148,13 +148,16 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         for i in range(self.num_layers):
             li = i % l
             h, w = shapes[li]
-            # attention mask from the previous mask prediction (ref :250-262):
-            # block positions the query's mask scores < 0.5; if a query blocks
+            # attention mask from the previous mask prediction (ref :250-262,
+            # :367-370): bilinearly resize the mask LOGITS first, THEN
+            # threshold sigmoid < 0.5 — the operations don't commute, and
+            # the reference interpolates logits. If a query blocks
             # everything, unblock it entirely (the degenerate-mask guard).
             m = resize(
-                jax.nn.sigmoid(masks).transpose(0, 2, 3, 1), (h, w)
+                masks.astype(jnp.float32).transpose(0, 2, 3, 1), (h, w)
             ).transpose(0, 3, 1, 2)
-            blocked = (m.reshape(b, self.num_queries, h * w) < 0.5)
+            blocked = (jax.nn.sigmoid(m).reshape(b, self.num_queries, h * w)
+                       < 0.5)
             all_blocked = blocked.all(axis=-1, keepdims=True)
             blocked = jnp.where(all_blocked, False, blocked)
             attn_mask = blocked[:, None]  # (B, 1, Q, HW) broadcast over heads

@@ -191,15 +191,19 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for h, w in shapes:
             outs.append(src[:, off : off + h * w].reshape(-1, h, w, self.dim))
             off += h * w
-        # FPN-fuse to stride 4 with the remaining lower levels (res2 ...)
+        # FPN-fuse to stride 4 with the remaining lower levels (res2 ...).
+        # ref adapters are Sequential(Conv2d(bias=True), GroupNorm, ReLU)
+        # and output convs Conv2d(bias=True)+GN+ReLU (msdeformattn.py:238-247)
         y = outs[-1]  # res3 (finest transformer level)
         for j, f in enumerate(reversed(feats[: len(feats) - l])):
-            lat = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype, name=f"lateral{j}")(f)
+            lat = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                          name=f"lateral{j}")(f)
             lat = nn.GroupNorm(num_groups=32, dtype=self.dtype)(lat)
+            lat = nn.relu(lat)
             y = lat + resize_like(y, lat)
             y = ConvModule(
-                self.dim, 3, padding=1, norm="gn", act="relu", dtype=self.dtype,
-                name=f"output_conv{j}",
+                self.dim, 3, padding=1, use_bias=True, norm="gn", act="relu",
+                dtype=self.dtype, name=f"output_conv{j}",
             )(y, train=train)
         mask_features = nn.Conv(
             self.mask_dim, (1, 1), dtype=jnp.float32, name="mask_features"

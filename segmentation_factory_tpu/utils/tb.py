@@ -32,17 +32,23 @@ class ScalarWriter:
                 self._tb = None
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
-        with open(self.path, "a") as f:
-            f.write(
-                json.dumps(
-                    {"tag": tag, "value": float(value), "step": int(step),
-                     "ts": time.time()}
-                )
-                + "\n"
+        if getattr(self, "_fh", None) is None:
+            self._fh = open(self.path, "a")
+        self._fh.write(
+            json.dumps(
+                {"tag": tag, "value": float(value), "step": int(step),
+                 "ts": time.time()}
             )
+            + "\n"
+        )
+        self._fh.flush()
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
 
     def close(self) -> None:
+        fh = getattr(self, "_fh", None)
+        if fh is not None:
+            fh.close()
+            self._fh = None
         if self._tb is not None:
             self._tb.close()

@@ -62,6 +62,13 @@ def main():
         # Runtime re-run in the reference
         from segmentation_factory_tpu.export import load_exported
 
+        if args.tta or args.slide or args.dataset.lower() == "synapse":
+            raise SystemExit(
+                "--export-artifact serves a fixed-spatial-shape graph (only "
+                "the batch dim is symbolic); --tta/--slide/synapse feed it "
+                "other resolutions. Re-validate the live model, or export "
+                "at each needed size."
+            )
         exported = load_exported(args.export_artifact)
         seg.forward = lambda x: exported.call(x)
 
@@ -89,8 +96,11 @@ def main():
             logits = multi_scale_flip_inference(
                 seg.forward, x, nc, crop=args.crop
             )
-        elif args.slide and args.crop:
-            logits = slide_inference(seg.forward, x, nc, args.crop)
+        elif args.slide:
+            # --slide without --crop defaults to the train crop (img-size);
+            # silently falling back to whole-image would misreport protocol
+            logits = slide_inference(seg.forward, x, nc,
+                                     args.crop or args.img_size)
         else:
             logits = seg.forward(x)
         hist = update(hist, logits, jnp.asarray(batch["label"]))
