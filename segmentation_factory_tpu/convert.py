@@ -1209,16 +1209,19 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
         depths = table[name.split("_", 1)[1]][1]
         return {"params": convert_crossformer(sd, depths), "batch_stats": {}}
     if name.startswith("convformer_") or name.startswith("caformer_"):
-        from segmentation_factory_tpu.models.backbones.metaformer import _DEPTHS
+        from segmentation_factory_tpu.models.backbones.metaformer import (
+            metaformer_settings,
+        )
 
-        key = "".join(ch for ch in name.split("_")[-1] if ch.isdigit())
+        family, variant = name.split("_", 1)
+        _, depths = metaformer_settings(family, variant)
         mixers = (
             ("sepconv", "sepconv", "attention", "attention")
-            if name.startswith("caformer_")
+            if family == "caformer"
             else ("sepconv",) * 4
         )
         return {
-            "params": convert_convformer(sd, _DEPTHS[key], mixers),
+            "params": convert_convformer(sd, depths, mixers),
             "batch_stats": {},
         }
     raise KeyError(

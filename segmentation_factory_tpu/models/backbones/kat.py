@@ -42,6 +42,12 @@ def _fit_rational_to(act_name: str, p_order: int = 5, q_order: int = 4):
     Deterministic numerical init standing in for the KAT paper's published
     coefficient tables (numerator degree 5, denominator degree 4).
     """
+    if act_name == "identity":
+        # exact rational form of f(x) = x: P(x) = x, Q = 0 (ref KAT_Group
+        # mode='identity', the learnable act1 in front of fc1)
+        a = np.zeros(p_order + 1, np.float32)
+        a[1] = 1.0
+        return a, np.zeros(q_order, np.float32)
     xs = np.linspace(-4.0, 4.0, 2001)
     if act_name == "gelu":
         ys = 0.5 * xs * (1.0 + np.tanh(np.sqrt(2 / np.pi) * (xs + 0.044715 * xs**3)))
@@ -118,7 +124,9 @@ class KANBlock(nn.Module):
         )(y, y)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        # KAN FFN: fc -> rational -> fc (ref KAN :91-131)
+        # KAN FFN (ref KAN :105-131): learnable identity-init rational act1
+        # BEFORE fc1, then fc1 -> rational act2 -> fc2
+        y = RationalActivation(base_act="identity", name="rational1")(y)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = RationalActivation(base_act=self.base_act, name="rational")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)

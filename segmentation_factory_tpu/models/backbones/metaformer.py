@@ -63,7 +63,8 @@ class StarReLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (1,))
         bias = self.param("bias", nn.initializers.zeros, (1,))
         r = nn.relu(x)
-        return scale * r * r + bias
+        # fp32 params must not promote the bf16 activation stream
+        return (scale * r * r + bias).astype(x.dtype)
 
 
 class Pooling(nn.Module):
@@ -118,12 +119,33 @@ class VanillaAttention(nn.Module):
         return nn.Dense(c, use_bias=False, dtype=self.dtype)(y)  # ref proj_bias=False
 
 
+class ModifiedLayerNorm(nn.Module):
+    """'Modified LayerNorm' (ref LayerNormGeneral normalized_dim=(1,2,3),
+    bias=False, metaformer.py:299-340) == GroupNorm(1): mean/var over ALL of
+    H, W, C jointly, scale (C,) only. The defining norm of IdentityFormer /
+    RandFormer / PoolFormerV2."""
+
+    epsilon: float = 1e-6
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=(1, 2, 3), keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=(1, 2, 3), keepdims=True)
+        y = (xf - mu) / jnp.sqrt(var + self.epsilon) * scale
+        return y.astype(x.dtype)
+
+
 class MetaFormerBlock(nn.Module):
     mixer: Callable
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     layer_scale: float = 0.0
     res_scale: bool = False  # learnable residual-stream scale (ref stages 3-4)
+    block_norm: str = "ln"  # 'ln' (conv/caformer) | 'mln' (id/rand/pool)
     dtype: Any = None
 
     @nn.compact
@@ -131,22 +153,27 @@ class MetaFormerBlock(nn.Module):
         c = x.shape[-1]
         dp = DropPath(self.drop_path)
 
+        def norm(name):
+            if self.block_norm == "mln":
+                return ModifiedLayerNorm(dtype=self.dtype, name=name)
+            return nn.LayerNorm(use_bias=False, dtype=self.dtype, name=name)
+
         def scaled(y, name):
             if self.layer_scale > 0:
                 g = self.param(name, nn.initializers.constant(self.layer_scale), (c,))
-                y = y * g
+                y = (y * g).astype(x.dtype)  # fp32 param: keep bf16 stream
             return y
 
         def res(x, name):
             if self.res_scale:
                 g = self.param(name, nn.initializers.ones, (c,))
-                return x * g
+                return (x * g).astype(x.dtype)
             return x
 
-        y = nn.LayerNorm(use_bias=False, dtype=self.dtype, name="norm1")(x)
+        y = norm("norm1")(x)
         y = self.mixer(name="token_mixer")(y)
         x = res(x, "res_scale1") + dp(scaled(y, "ls1"), deterministic)
-        y = nn.LayerNorm(use_bias=False, dtype=self.dtype, name="norm2")(x)
+        y = norm("norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), use_bias=False, dtype=self.dtype)(y)
         y = StarReLU(dtype=self.dtype, name="mlp_act")(y)
         y = nn.Dense(c, use_bias=False, dtype=self.dtype)(y)
@@ -157,6 +184,7 @@ class MetaFormer(nn.Module):
     dims: Sequence[int]
     depths: Sequence[int]
     mixers: Sequence[str]  # per-stage: identity|random|pool|sepconv|attention
+    block_norm: str = "ln"  # 'ln' (conv/caformer) | 'mln' (id/rand/pool)
     drop_path_rate: float = 0.0
     dtype: Any = jnp.bfloat16
 
@@ -202,6 +230,7 @@ class MetaFormer(nn.Module):
                     drop_path=dprs[s][j],
                     # ref res_scale_init_values default [None, None, 1., 1.]
                     res_scale=s >= 2,
+                    block_norm=self.block_norm,
                     dtype=self.dtype,
                     name=f"block{s}_{j}",
                 )(x, deterministic=det)
@@ -211,18 +240,37 @@ class MetaFormer(nn.Module):
         return feats
 
 
-_DIMS = {
+# dims/depths are FAMILY-dependent (the 'm'/'36' codes mean different
+# things across the two branches of the reference zoo):
+#   id/rand/pool  m -> [96,192,384,768]; 36 -> [6,6,18,6]  (ref :687-925)
+#   conv/caformer m -> [96,192,384,576]; 36 -> [3,12,18,3] (ref :927-1551)
+_DIMS_IRP = {
+    "s": [64, 128, 320, 512],
+    "m": [96, 192, 384, 768],
+}
+_DIMS_CC = {
     "s": [64, 128, 320, 512],
     "m": [96, 192, 384, 576],
     "b": [128, 256, 512, 768],
 }
-_DEPTHS = {
+_DEPTHS_IRP = {
     "12": [2, 2, 6, 2],
-    "18": [3, 3, 9, 3],
     "24": [4, 4, 12, 4],
     "36": [6, 6, 18, 6],
     "48": [8, 8, 24, 8],
 }
+_DEPTHS_CC = {
+    "18": [3, 3, 9, 3],
+    "36": [3, 12, 18, 3],
+}
+_CONV_FAMILIES = ("convformer", "caformer")
+
+
+def metaformer_settings(family: str, variant: str):
+    """(dims, depths) for a registered family/variant pair."""
+    if family in _CONV_FAMILIES:
+        return _DIMS_CC[variant[0]], _DEPTHS_CC[variant[1:]]
+    return _DIMS_IRP[variant[0]], _DEPTHS_IRP[variant[1:]]
 _FAMILY_MIXERS = {
     "identityformer": ["identity"] * 4,
     "randformer": ["identity", "identity", "random", "random"],
@@ -241,13 +289,14 @@ _VARIANTS = {
 
 def _make_metaformer(family: str, variant: str):
     def factory(dtype: Any = jnp.bfloat16, drop_path_rate: float = 0.0, **kwargs):
-        dims = _DIMS[variant[0]]
-        depths = _DEPTHS[variant[1:]]
+        dims, depths = metaformer_settings(family, variant)
         return (
             MetaFormer(
                 dims=dims,
                 depths=depths,
                 mixers=_FAMILY_MIXERS[family],
+                # id/rand/pool use the Modified (GroupNorm-1 style) block norm
+                block_norm="ln" if family in _CONV_FAMILIES else "mln",
                 drop_path_rate=drop_path_rate,
                 dtype=dtype,
                 **kwargs,

@@ -12,9 +12,10 @@ Spec row formats:
   uib:      (in, out, start_dw_k, middle_dw_k, middle_down, stride, expand
              [, mqa (heads, key_dim, value_dim, qh, qw, kv_stride, ls, mq, res)])
 
-Features are tapped at the end of layer1..layer4 (strides 4/8/16/32), which
-is what the reference's channel introspection extracts
-(models/build_models.py:31-40).
+Features are tapped at the end of layer1..layer4 (strides 4/8/16/32) — the
+standard decode-head pyramid. The reference instead surfaces FIVE levels
+[stem/2, s0/4, s1/8, s2/16, conv960/32] (build_models.py:31-40 +
+forward_intermediates); see PARITY.md for this documented divergence.
 """
 
 from __future__ import annotations
@@ -170,6 +171,13 @@ class UIB(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.stride > 1:
+            # the reference asserts a depthwise conv exists to carry the
+            # stride (mobilenetv4_blocks.py:348-349); without this a future
+            # spec row could silently skip downsampling
+            assert self.start_dw_k or self.middle_dw_k, (
+                "stride > 1 UIB needs a start or middle depthwise conv"
+            )
         c = x.shape[-1]
         y = x
         if self.start_dw_k:
@@ -187,11 +195,14 @@ class UIB(nn.Module):
                            act=self.act, dtype=self.dtype, name="middle_dw")(y, train=train)
         y = ConvModule(self.out_ch, 1, norm="bn", act=None, dtype=self.dtype,
                        name="project")(y, train=train)
+        if self.use_layer_scale:
+            # ref applies LayerScale2d unconditionally, BEFORE the skip
+            # check (mobilenetv4_blocks.py:448-452) — non-residual rows
+            # carry the gamma too
+            gamma = self.param("layer_scale",
+                               nn.initializers.constant(1e-5), (self.out_ch,))
+            y = (y * gamma).astype(x.dtype)
         if self.stride == 1 and c == self.out_ch:
-            if self.use_layer_scale:
-                gamma = self.param("layer_scale",
-                                   nn.initializers.constant(1e-5), (self.out_ch,))
-                return x + y * gamma
             return x + y
         return y
 
@@ -234,7 +245,7 @@ class MobileMQA(nn.Module):
         out = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="proj")(out)
         if self.use_layer_scale:
             gamma = self.param("layer_scale", nn.initializers.constant(1e-5), (c,))
-            out = out * gamma
+            out = (out * gamma).astype(x.dtype)  # fp32 param: keep bf16 stream
         return x + out
 
 
