@@ -445,6 +445,43 @@ def convert_convformer(sd: Dict, depths, mixers=("sepconv",) * 4) -> Dict:
     return p
 
 
+def convert_poolformer_like(sd: Dict, depths) -> Dict:
+    """Reference IdentityFormer / PoolFormerV2 (parameter-free token mixers,
+    Modified-LayerNorm blocks) -> flax params for backbones/metaformer.
+
+    Same stem/downsample/mlp layout as ConvFormer (convert_convformer); the
+    block norms are scale-only (LayerNormGeneral bias=False) in both."""
+
+    def star(prefix):
+        return {
+            "scale": np.asarray(sd[f"{prefix}.scale"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    p: Dict = {
+        "stem": t_conv(sd, "downsample_layers.0.conv"),
+        "stem_norm": _t_ln_scale(sd, "downsample_layers.0.post_norm"),
+    }
+    for i in range(1, 4):
+        p[f"down_norm{i}"] = _t_ln_scale(sd, f"downsample_layers.{i}.pre_norm")
+        p[f"down{i}"] = t_conv(sd, f"downsample_layers.{i}.conv")
+    for i in range(4):
+        for j in range(depths[i]):
+            r = f"stages.{i}.{j}"
+            blk: Dict = {
+                "norm1": _t_ln_scale(sd, f"{r}.norm1"),
+                "norm2": _t_ln_scale(sd, f"{r}.norm2"),
+                "Dense_0": t_linear(sd, f"{r}.mlp.fc1"),
+                "mlp_act": star(f"{r}.mlp.act"),
+                "Dense_1": t_linear(sd, f"{r}.mlp.fc2"),
+            }
+            if f"{r}.res_scale1.scale" in sd:
+                blk["res_scale1"] = np.asarray(sd[f"{r}.res_scale1.scale"])
+                blk["res_scale2"] = np.asarray(sd[f"{r}.res_scale2.scale"])
+            p[f"block{i}_{j}"] = blk
+    return p
+
+
 def convert_crossformer(sd: Dict, depths) -> Dict:
     """Reference CrossFormer (crossformer.py:598-783, single-kernel default)
     -> flax params for backbones/crossformer.CrossFormer.

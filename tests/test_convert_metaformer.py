@@ -147,3 +147,100 @@ def test_caformer_s18_torch_parity(ref_metaformer):
         np.testing.assert_allclose(
             np.asarray(fj), want, rtol=2e-3, atol=2e-3, err_msg=f"stage {i}"
         )
+
+
+@pytest.mark.parametrize("family", ["identityformer", "poolformerv2"])
+def test_poolformer_like_torch_parity(ref_metaformer, family):
+    """Value parity for the id/pool branch: Modified LayerNorm (GroupNorm-1
+    over H,W,C), parameter-free mixers, and the res-scale stages — pins the
+    branch whose norms/dims differ from conv/caformer."""
+    import torch
+
+    torch.manual_seed(3)
+    factory = getattr(ref_metaformer, f"{family}_s12")
+    tb = factory(drop_path_rate=0.0).eval()
+    with torch.no_grad():
+        for name, prm in tb.named_parameters():
+            if name.endswith((".act.scale",)):
+                prm.uniform_(0.8, 1.2)
+            if name.endswith((".act.bias",)):
+                prm.uniform_(-0.2, 0.2)
+            if "res_scale" in name:
+                prm.uniform_(0.9, 1.1)
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    from segmentation_factory_tpu.convert import convert_poolformer_like
+
+    jb, ch = get_backbone(f"{family}_s12", dtype=jnp.float32,
+                          drop_path_rate=0.0)
+    params = convert_poolformer_like(sd, [2, 2, 6, 2])
+
+    x = np.random.default_rng(3).normal(size=(1, 96, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = tb(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+
+    init = jb.init(
+        {"params": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False,
+    )
+    assert jax.tree_util.tree_structure(init["params"]) == (
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(jnp.asarray, params)
+        )
+    ), f"converted {family} param-tree structure mismatch"
+
+    feats_j = jb.apply({"params": params}, jnp.asarray(x), train=False)
+    for i, (ft, fj) in enumerate(zip(feats_t, feats_j)):
+        want = ft.numpy()
+        if want.ndim == 4 and want.shape[1] == fj.shape[-1]:
+            want = want.transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(fj), want.reshape(np.asarray(fj).shape),
+            rtol=2e-3, atol=2e-3, err_msg=f"{family} stage {i}",
+        )
+
+
+def test_randformer_torch_parity(ref_metaformer):
+    """RandFormer value parity at 224^2 (the reference hard-codes 196/49
+    token mixing matrices): the frozen softmaxed matrices are imported into
+    our 'constants' collection."""
+    import torch
+
+    torch.manual_seed(4)
+    tb = ref_metaformer.randformer_s12(drop_path_rate=0.0).eval()
+    with torch.no_grad():
+        for name, prm in tb.named_parameters():
+            if "res_scale" in name:
+                prm.uniform_(0.9, 1.1)
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+
+    from segmentation_factory_tpu.convert import convert_poolformer_like
+
+    jb, ch = get_backbone("randformer_s12", dtype=jnp.float32,
+                          drop_path_rate=0.0)
+    params = convert_poolformer_like(sd, [2, 2, 6, 2])
+    # the frozen random matrices live outside 'params' in our design
+    constants = {}
+    for i in (2, 3):
+        for j in range(6 if i == 2 else 2):
+            key = f"stages.{i}.{j}.token_mixer.random_matrix"
+            if key in sd:
+                constants.setdefault(f"block{i}_{j}", {})["token_mixer"] = {
+                    "mix": jnp.asarray(sd[key])
+                }
+
+    x = np.random.default_rng(4).normal(size=(1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = tb(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()))
+
+    feats_j = jb.apply(
+        {"params": params, "constants": constants}, jnp.asarray(x), train=False
+    )
+    for i, (ft, fj) in enumerate(zip(feats_t, feats_j)):
+        want = ft.numpy()
+        if want.ndim == 4 and want.shape[1] == fj.shape[-1]:
+            want = want.transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(fj), want.reshape(np.asarray(fj).shape),
+            rtol=2e-3, atol=2e-3, err_msg=f"randformer stage {i}",
+        )
