@@ -1261,11 +1261,23 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
             "params": convert_convformer(sd, depths, mixers),
             "batch_stats": {},
         }
+    if name.split("_")[0] in ("identityformer", "randformer", "poolformerv2"):
+        from segmentation_factory_tpu.models.backbones.metaformer import (
+            metaformer_settings,
+        )
+
+        family, variant = name.split("_", 1)
+        _, depths = metaformer_settings(family, variant)
+        return {
+            "params": convert_poolformer_like(sd, depths),
+            "batch_stats": {},
+        }
     raise KeyError(
         f"no torch converter for backbone family of {backbone_name!r}; "
         "available: mit_*, convnext_*, convnextv2_*, efficientvit_b*/l*, "
-        "mobilenetv2, rcvit_*, iformer_*, crossformer_*, convformer_*, "
-        "caformer_*"
+        "mobilenetv2, mobilenetv4_* (conv), resnet*, rcvit_*, iformer_*, "
+        "crossformer_*, crossformerpp_*, convformer_*, caformer_*, "
+        "identityformer_*, randformer_*, poolformerv2_*"
     )
 
 
