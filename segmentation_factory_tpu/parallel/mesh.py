@@ -134,15 +134,18 @@ def initialize_multihost() -> None:
     # query initializes the local runtime first, after which
     # jax.distributed.initialize() is guaranteed to fail. Decide from the
     # environment instead (the same signals jax itself auto-detects).
+    # explicit coordinator addresses only: TPU_WORKER_HOSTNAMES also appears
+    # on single-host setups (e.g. tunneled single-chip backends) where
+    # initialize() would raise 'coordinator_address should be defined'
     coord_env = (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
     )
     if not any(os.environ.get(k) for k in coord_env):
         return  # single-host run (tests, notebooks, single chip)
     try:
         jax.distributed.initialize()
-    except RuntimeError as e:
+    except Exception as e:
         if "already initialized" in str(e):
             return
         warnings.warn(
