@@ -21,7 +21,10 @@ from segmentation_factory_tpu import losses as L
 from segmentation_factory_tpu.engine.state import TrainState
 from segmentation_factory_tpu.metrics import update_confusion_matrix
 
-AUX_WEIGHTS = (1.0, 0.4, 0.4)  # ref util/losses.py:28-41 aux tuple weights
+# per-loss aux-output weights (ref util/losses.py): CrossEntropy defaults
+# [1, 0.4, 0.4] (:28) but OhemCrossEntropy defaults [1, 1] (:45)
+AUX_WEIGHTS = {"ohem": (1.0, 1.0, 1.0)}
+_AUX_DEFAULT = (1.0, 0.4, 0.4)
 
 
 def compute_loss(
@@ -40,7 +43,8 @@ def compute_loss(
         )
     if isinstance(logits, (tuple, list)):
         total = jnp.zeros((), jnp.float32)
-        for w, lg in zip(AUX_WEIGHTS, logits):
+        weights = AUX_WEIGHTS.get(loss_type, _AUX_DEFAULT)
+        for w, lg in zip(weights, logits):
             total = total + w * L.criterion(
                 lg, labels, ignore_index, use_dice=use_dice, loss_type=loss_type
             )

@@ -22,12 +22,13 @@ from segmentation_factory_tpu.models.layers import DropPath, drop_path_rates
 from segmentation_factory_tpu.registry import register_backbone
 
 CONVNEXT_SETTINGS = {
-    # name: (depths, dims)  — ref convnext.py:70-76
-    "tiny": ([3, 3, 9, 3], [96, 192, 384, 768]),
-    "small": ([3, 3, 27, 3], [96, 192, 384, 768]),
-    "base": ([3, 3, 27, 3], [128, 256, 512, 1024]),
-    "large": ([3, 3, 27, 3], [192, 384, 768, 1536]),
-    "xlarge": ([3, 3, 27, 3], [256, 512, 1024, 2048]),
+    # name: (depths, dims, drop_path_rate)  — ref convnext.py:70-76 bakes
+    # the per-variant stochastic-depth rate into the settings
+    "tiny": ([3, 3, 9, 3], [96, 192, 384, 768], 0.1),
+    "small": ([3, 3, 27, 3], [96, 192, 384, 768], 0.4),
+    "base": ([3, 3, 27, 3], [128, 256, 512, 1024], 0.5),
+    "large": ([3, 3, 27, 3], [192, 384, 768, 1536], 0.5),
+    "xlarge": ([3, 3, 27, 3], [256, 512, 1024, 2048], 0.5),
 }
 
 
@@ -62,7 +63,7 @@ class ConvNeXtBlock(nn.Module):
                 nn.initializers.constant(self.layer_scale_init),
                 (self.dim,),
             )
-            y = y * gamma
+            y = (y * gamma).astype(x.dtype)  # fp32 param: keep bf16 stream
         return x + DropPath(self.drop_path)(y, deterministic)
 
 
@@ -107,8 +108,10 @@ class ConvNeXt(nn.Module):
 
 
 def _make_convnext(variant: str):
-    def factory(dtype: Any = jnp.bfloat16, drop_path_rate: float = 0.0, **kwargs):
-        depths, dims = CONVNEXT_SETTINGS[variant]
+    def factory(dtype: Any = jnp.bfloat16, drop_path_rate=None, **kwargs):
+        depths, dims, default_dpr = CONVNEXT_SETTINGS[variant]
+        if drop_path_rate is None:  # the reference's per-variant default
+            drop_path_rate = default_dpr
         return (
             ConvNeXt(
                 depths=depths,

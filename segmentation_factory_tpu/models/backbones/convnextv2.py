@@ -15,21 +15,23 @@ from segmentation_factory_tpu.models.backbones.convnext import ConvNeXt
 from segmentation_factory_tpu.registry import register_backbone
 
 CONVNEXTV2_SETTINGS = {
-    # ref convnextv2.py:182-234
-    "atto": ([2, 2, 6, 2], [40, 80, 160, 320]),
-    "femto": ([2, 2, 6, 2], [48, 96, 192, 384]),
-    "pico": ([2, 2, 6, 2], [64, 128, 256, 512]),
-    "nano": ([2, 2, 8, 2], [80, 160, 320, 640]),
-    "tiny": ([3, 3, 9, 3], [96, 192, 384, 768]),
-    "base": ([3, 3, 27, 3], [128, 256, 512, 1024]),
-    "large": ([3, 3, 27, 3], [192, 384, 768, 1536]),
-    "huge": ([3, 3, 27, 3], [352, 704, 1408, 2816]),
+    # (depths, dims, drop_path_rate) — ref convnextv2.py:182-234 factories
+    "atto": ([2, 2, 6, 2], [40, 80, 160, 320], 0.0),
+    "femto": ([2, 2, 6, 2], [48, 96, 192, 384], 0.0),
+    "pico": ([2, 2, 6, 2], [64, 128, 256, 512], 0.0),
+    "nano": ([2, 2, 8, 2], [80, 160, 320, 640], 0.0),
+    "tiny": ([3, 3, 9, 3], [96, 192, 384, 768], 0.1),
+    "base": ([3, 3, 27, 3], [128, 256, 512, 1024], 0.4),
+    "large": ([3, 3, 27, 3], [192, 384, 768, 1536], 0.5),
+    "huge": ([3, 3, 27, 3], [352, 704, 1408, 2816], 0.5),
 }
 
 
 def _make_convnextv2(variant: str):
-    def factory(dtype: Any = jnp.bfloat16, drop_path_rate: float = 0.0, **kwargs):
-        depths, dims = CONVNEXTV2_SETTINGS[variant]
+    def factory(dtype: Any = jnp.bfloat16, drop_path_rate=None, **kwargs):
+        depths, dims, default_dpr = CONVNEXTV2_SETTINGS[variant]
+        if drop_path_rate is None:  # the reference's per-variant default
+            drop_path_rate = default_dpr
         return (
             ConvNeXt(
                 depths=depths,

@@ -66,6 +66,7 @@ class GroupAttention(nn.Module):
     dim: int
     num_heads: int
     group: int
+    position_bias: bool = True  # ref disables DPB when CPE is on (:234-238)
     dtype: Any = None
 
     @nn.compact
@@ -77,15 +78,17 @@ class GroupAttention(nn.Module):
         qkv = qkv.reshape(bg, n, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * hd**-0.5
-        # dynamic position bias
-        rng = np.arange(1 - g, g, dtype=np.float32)
-        by, bx = np.meshgrid(rng, rng, indexing="ij")
-        biases = jnp.asarray(np.stack([by, bx], -1).reshape(-1, 2))
-        pos = DynamicPosBias(self.dim // 4, self.num_heads, dtype=jnp.float32,
-                             name="pos")(biases)  # ((2G-1)^2, H); MLP dim//16
-        idx = jnp.asarray(_relative_index(g).reshape(-1))
-        bias = pos[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-        attn = attn.astype(jnp.float32) + bias[None]
+        attn = attn.astype(jnp.float32)
+        if self.position_bias:
+            # dynamic position bias
+            rng = np.arange(1 - g, g, dtype=np.float32)
+            by, bx = np.meshgrid(rng, rng, indexing="ij")
+            biases = jnp.asarray(np.stack([by, bx], -1).reshape(-1, 2))
+            pos = DynamicPosBias(self.dim // 4, self.num_heads, dtype=jnp.float32,
+                                 name="pos")(biases)  # ((2G-1)^2, H); MLP dim//16
+            idx = jnp.asarray(_relative_index(g).reshape(-1))
+            bias = pos[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            attn = attn + bias[None]
         if attn_mask is not None:
             attn = attn + attn_mask[:, None]  # mask (nGB, N, N) per group-batch
         attn = nn.softmax(attn, axis=-1).astype(q.dtype)
@@ -107,9 +110,16 @@ class CrossFormerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):  # x: (B, H, W, C)
         b, h, w, c = x.shape
-        g = min(self.group_size, max(h, w))
-        lsda = self.lsda_flag if min(h, w) > self.group_size else 0
-        interval = max(min(self.interval, min(h, w) // g), 1) if lsda else 1
+        # small-map fallback (ref :263-268): when the window doesn't fit,
+        # attend globally in ONE padded max(H,W)-sized group; the interval
+        # is used unclamped otherwise (adaptive_interval defaults False)
+        if min(h, w) <= self.group_size:
+            lsda = 0
+            g = max(h, w)
+        else:
+            lsda = self.lsda_flag
+            g = self.group_size
+        interval = self.interval if lsda else 1
 
         shortcut = x
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -146,12 +156,16 @@ class CrossFormerBlock(nn.Module):
 
         attn_mask = None
         if pad_b or pad_r:
-            am = np.where(vm[:, None, :] > 0, 0.0, NEG_INF).astype(np.float32)
-            attn_mask = jnp.asarray(np.tile(am, (b, 1, 1)))
+            am = jnp.asarray(
+                np.where(vm[:, None, :] > 0, 0.0, NEG_INF).astype(np.float32)
+            )  # (nG, 1, N): broadcast over batch instead of host-tiling
+            attn_mask = jnp.broadcast_to(
+                am[None], (b,) + am.shape
+            ).reshape(b * ng, 1, am.shape[-1])
 
-        y = GroupAttention(self.dim, self.num_heads, g, dtype=self.dtype, name="attn")(
-            y, attn_mask
-        )
+        y = GroupAttention(self.dim, self.num_heads, g,
+                           position_bias=not self.use_cpe, dtype=self.dtype,
+                           name="attn")(y, attn_mask)
 
         if lsda == 0:
             y = y.reshape(b, hp // g, wp // g, g, g, c).transpose(0, 1, 3, 2, 4, 5)

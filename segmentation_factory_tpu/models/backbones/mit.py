@@ -64,6 +64,8 @@ class SRAttention(nn.Module):
                 self.dim,
                 (self.sr_ratio, self.sr_ratio),
                 strides=(self.sr_ratio, self.sr_ratio),
+                padding="VALID",  # torch Conv2d(padding=0): floor-drops edge
+                # pixels at non-/32 sizes (flax SAME would zero-pad instead)
                 dtype=self.dtype,
                 name="sr",
             )(x)

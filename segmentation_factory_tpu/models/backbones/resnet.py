@@ -3,8 +3,9 @@
 Parity with /root/reference/models/backbones/resnet.py:54-117 (Bottleneck
 ResNet with FrozenBN-style usage) and feature_pyramid_network.py
 (BackboneWithFPN :64-114, FeaturePyramidNetwork :116-230 with the extra
-max-pool level). FrozenBN maps to BatchNorm running in inference mode —
-pass ``norm='frozen_bn'`` (train flag ignored) as detection training does.
+max-pool level). ``frozen_bn=True`` maps every BN to the registered
+``'frozen_bn'`` norm (torchvision FrozenBatchNorm2d semantics: fixed
+statistics AND no gradients to the affine scale/bias).
 """
 
 from __future__ import annotations
@@ -14,7 +15,11 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from segmentation_factory_tpu.models.layers import ConvModule, resize_like
+from segmentation_factory_tpu.models.layers import (
+    ConvModule,
+    resize_like,
+    resize_nearest_legacy,
+)
 from segmentation_factory_tpu.registry import register_backbone
 
 RESNET_SETTINGS = {
@@ -30,22 +35,19 @@ class Bottleneck(nn.Module):
     frozen_bn: bool = False
     dtype: Any = None
 
-    def _norm_train(self, train):
-        return False if self.frozen_bn else train
-
     @nn.compact
     def __call__(self, x, train: bool = False):
-        t = self._norm_train(train)
+        norm = "frozen_bn" if self.frozen_bn else "bn"
         out_ch = self.planes * 4
         identity = x
-        y = ConvModule(self.planes, 1, norm="bn", act="relu", dtype=self.dtype)(x, train=t)
-        y = ConvModule(self.planes, 3, strides=self.stride, padding=1, norm="bn",
-                       act="relu", dtype=self.dtype)(y, train=t)
-        y = ConvModule(out_ch, 1, norm="bn", act=None, dtype=self.dtype)(y, train=t)
+        y = ConvModule(self.planes, 1, norm=norm, act="relu", dtype=self.dtype)(x, train=train)
+        y = ConvModule(self.planes, 3, strides=self.stride, padding=1, norm=norm,
+                       act="relu", dtype=self.dtype)(y, train=train)
+        y = ConvModule(out_ch, 1, norm=norm, act=None, dtype=self.dtype)(y, train=train)
         if self.stride != 1 or x.shape[-1] != out_ch:
-            identity = ConvModule(out_ch, 1, strides=self.stride, norm="bn",
+            identity = ConvModule(out_ch, 1, strides=self.stride, norm=norm,
                                   act=None, dtype=self.dtype, name="downsample")(
-                                      x, train=t)
+                                      x, train=train)
         return nn.relu(y + identity)
 
 
@@ -56,9 +58,9 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        t = False if self.frozen_bn else train
-        x = ConvModule(64, 7, strides=2, padding=3, norm="bn", act="relu",
-                       dtype=self.dtype, name="stem")(x, train=t)
+        norm = "frozen_bn" if self.frozen_bn else "bn"
+        x = ConvModule(64, 7, strides=2, padding=3, norm=norm, act="relu",
+                       dtype=self.dtype, name="stem")(x, train=train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         feats = []
         for i, n in enumerate(self.layers):
@@ -86,8 +88,10 @@ class FeaturePyramidNetwork(nn.Module):
             for i, f in enumerate(feats)
         ]
         for i in range(len(laterals) - 1, 0, -1):
-            laterals[i - 1] = laterals[i - 1] + resize_like(
-                laterals[i], laterals[i - 1], method="nearest"
+            # torch legacy floor-indexed nearest (ref fpn :213), not
+            # half-pixel nearest — differs on non-2:1 level ratios
+            laterals[i - 1] = laterals[i - 1] + resize_nearest_legacy(
+                laterals[i], laterals[i - 1].shape[1:3]
             )
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],

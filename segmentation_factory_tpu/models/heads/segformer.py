@@ -85,7 +85,10 @@ class SegFormerHead(nn.Module):
         x = _LevelFuse(
             self.embed_dim, norm=self.norm, dtype=self.dtype, name="linear_fuse"
         )(outs[::-1], feats[0], train=train)
-        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        # ref uses nn.Dropout2d: whole-CHANNEL dropout, not per-pixel
+        x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
+            x, deterministic=not train
+        )
         # classifier in fp32: tiny matmul, keeps logits accurate for the loss
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="linear_pred")(
             x.astype(jnp.float32)

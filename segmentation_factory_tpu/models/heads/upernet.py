@@ -55,7 +55,10 @@ class UPerHead(nn.Module):
         x = ConvModule(
             ch, 3, padding=1, norm="bn", act="relu", dtype=self.dtype, name="bottleneck"
         )(x, train=train)
-        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        # ref uses nn.Dropout2d: whole-CHANNEL dropout, not per-pixel
+        x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
+            x, deterministic=not train
+        )
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="conv_seg")(
             x.astype(jnp.float32)
         )

@@ -29,9 +29,16 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = None
     axis_name: Optional[str] = None
+    frozen: bool = False  # torchvision FrozenBatchNorm2d semantics
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.frozen:
+            # same scope name as the unfrozen path, so param/stat trees (and
+            # converted checkpoints) are interchangeable
+            return FrozenBatchNorm(
+                epsilon=self.epsilon, dtype=self.dtype, name="BatchNorm_0"
+            )(x)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
@@ -39,6 +46,42 @@ class BatchNorm(nn.Module):
             dtype=self.dtype,
             axis_name=self.axis_name if train else None,
         )(x)
+
+
+class FrozenBatchNorm(nn.Module):
+    """torchvision FrozenBatchNorm2d equivalent (ref resnet.py:5): running
+    statistics are never updated AND the affine scale/bias receive no
+    gradients (lax.stop_gradient; being 1-D they are also excluded from
+    weight decay by the timm mask). Parameter/stat tree matches
+    nn.BatchNorm (scale/bias + mean/var), so converted checkpoints load
+    either way."""
+
+    momentum: float = 0.9  # unused; kept for signature parity
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train
+        import jax
+
+        c = x.shape[-1]
+        scale = jax.lax.stop_gradient(
+            self.param("scale", nn.initializers.ones, (c,))
+        )
+        bias = jax.lax.stop_gradient(
+            self.param("bias", nn.initializers.zeros, (c,))
+        )
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        ).value
+        inv = (scale / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
+        return x * inv + (bias - mean * scale / jnp.sqrt(var + self.epsilon)).astype(
+            x.dtype
+        )
 
 
 class LayerNorm(nn.Module):
@@ -99,6 +142,7 @@ NORMS: dict[str, Callable] = {
     "ln": LayerNorm,
     "ln2d": LayerNorm,  # NHWC: channel-last LN == the reference's LayerNorm2d
     "gn": GroupNorm,
+    "frozen_bn": lambda **kw: BatchNorm(frozen=True, **kw),
 }
 
 
