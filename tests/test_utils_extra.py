@@ -162,3 +162,45 @@ def test_optim_config_roundtrip_new_knobs():
     st = tx.init(p)
     upd, _ = tx.update({"w": jnp.ones((2, 2))}, st, p)
     assert upd["w"].shape == (2, 2)
+
+
+def test_convnext_variant_drop_path_defaults():
+    """The factories must default to the reference's per-variant stochastic
+    depth (convnext.py:71-76 / convnextv2.py:210-233), not 0.0."""
+    from segmentation_factory_tpu.registry import get_backbone
+
+    m, _ = get_backbone("convnext_tiny")
+    assert m.drop_path_rate == 0.1
+    m, _ = get_backbone("convnext_base")
+    assert m.drop_path_rate == 0.5
+    m, _ = get_backbone("convnextv2_atto")
+    assert m.drop_path_rate == 0.0
+    m, _ = get_backbone("convnextv2_tiny")
+    assert m.drop_path_rate == 0.1
+    # explicit override still wins
+    m, _ = get_backbone("convnext_tiny", drop_path_rate=0.3)
+    assert m.drop_path_rate == 0.3
+
+
+def test_ohem_aux_weights_are_unity():
+    """OhemCrossEntropy weights aux outputs [1, 1] (ref util/losses.py:45),
+    unlike CE's [1, 0.4, 0.4] (:28)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from segmentation_factory_tpu.engine.steps import compute_loss
+
+    rng = np.random.default_rng(0)
+    lg = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    lb = jnp.asarray(rng.integers(0, 4, (2, 8, 8)), jnp.int32)
+
+    def total(loss_type):
+        single = compute_loss(lg, lb, 255, loss_type, False)
+        pair = compute_loss((lg, lg), lb, 255, loss_type, False)
+        return float(single), float(pair)
+
+    s_ohem, p_ohem = total("ohem")
+    assert abs(p_ohem - 2.0 * s_ohem) < 1e-5  # [1, 1]
+    s_ce, p_ce = total("ce")
+    assert abs(p_ce - 1.4 * s_ce) < 1e-5  # [1, 0.4]
