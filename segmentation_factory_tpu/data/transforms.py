@@ -258,11 +258,19 @@ def augment_batch(
             gray = (x @ luma_w)[..., None]
             return jnp.clip(x * st + gray * (1.0 - st), 0.0, 255.0)
 
-        order = jax.random.permutation(k_order, 3)
+        # PER-SAMPLE op order (torchvision shuffles per image): compute all
+        # three candidate outputs per step and select per sample — 3x the
+        # (cheap elementwise) jitter math, no per-sample switch needed
+        orders = jax.vmap(lambda k: jax.random.permutation(k, 3))(
+            jax.random.split(k_order, b)
+        )  # (B, 3)
         for step in range(3):
-            img = jax.lax.switch(
-                order[step], [_bright, _contrast, _saturation], img
-            )
+            outs = jnp.stack(
+                [_bright(img), _contrast(img), _saturation(img)]
+            )  # (3, B, H, W, C)
+            img = jnp.take_along_axis(
+                outs, orders[None, :, step, None, None, None], axis=0
+            )[0]
 
     return normalize(img), labels
 
@@ -277,7 +285,8 @@ def preprocess_eval(images_u8: jax.Array) -> jax.Array:
 def adjust_gamma(img: jax.Array, gamma: float, gain: float = 1.0) -> jax.Array:
     """uint8-scale gamma correction (ref AdjustGamma :537-560)."""
     x = jnp.clip(img, 0.0, 255.0) / 255.0
-    return 255.0 * gain * x**gamma
+    # torchvision clamps the gained result back into the uint8 range
+    return jnp.clip(255.0 * gain * x**gamma, 0.0, 255.0)
 
 
 def gaussian_blur(img: jax.Array, sigma: float = 1.0, radius: int = 2) -> jax.Array:
@@ -290,13 +299,13 @@ def gaussian_blur(img: jax.Array, sigma: float = 1.0, radius: int = 2) -> jax.Ar
     img_ = jnp.moveaxis(img, -1, 1)  # NCHW for conv_general
     kernel_h = k.reshape(1, 1, -1, 1)
     kernel_w = k.reshape(1, 1, 1, -1)
-    out = jax.lax.conv_general_dilated(
-        img_.reshape(-1, 1, img.shape[1], img.shape[2]), kernel_h,
-        (1, 1), [(radius, radius), (0, 0)],
-    )
-    out = jax.lax.conv_general_dilated(
-        out, kernel_w, (1, 1), [(0, 0), (radius, radius)],
-    )
+    x = img_.reshape(-1, 1, img.shape[1], img.shape[2])
+    # torchvision gaussian_blur pads REFLECT; zero padding would darken the
+    # borders by the out-of-image kernel mass
+    x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (radius, radius)),
+                mode="reflect")
+    out = jax.lax.conv_general_dilated(x, kernel_h, (1, 1), "VALID")
+    out = jax.lax.conv_general_dilated(out, kernel_w, (1, 1), "VALID")
     out = out.reshape(img.shape[0], c, img.shape[1], img.shape[2])
     return jnp.moveaxis(out, 1, -1)
 
@@ -326,7 +335,9 @@ def autocontrast(img: jax.Array) -> jax.Array:
     lo = jnp.min(img, axis=(1, 2), keepdims=True)
     hi = jnp.max(img, axis=(1, 2), keepdims=True)
     scale = 255.0 / jnp.maximum(hi - lo, 1e-3)
-    return jnp.clip((img - lo) * scale, 0.0, 255.0)
+    out = jnp.clip((img - lo) * scale, 0.0, 255.0)
+    # torchvision returns the input unchanged for flat channels (min == max)
+    return jnp.where(hi > lo, out, img)
 
 
 def equalize(img: jax.Array) -> jax.Array:
@@ -337,8 +348,13 @@ def equalize(img: jax.Array) -> jax.Array:
         hist = jnp.bincount(v, length=256).astype(jnp.float32)
         cdf = jnp.cumsum(hist)
         cdf_min = cdf[jnp.argmax(hist > 0)]
-        denom = jnp.maximum(cdf[-1] - cdf_min, 1.0)
-        lut = jnp.clip((cdf - cdf_min) / denom * 255.0, 0.0, 255.0)
-        return lut[v].reshape(ch.shape)
+        span = cdf[-1] - cdf_min
+        lut = jnp.clip(
+            (cdf - cdf_min) / jnp.maximum(span, 1.0) * 255.0, 0.0, 255.0
+        )
+        # torchvision F.equalize returns the input unchanged when the
+        # histogram has a single occupied bin (step == 0)
+        out = lut[v]
+        return jnp.where(span > 0, out, v.astype(out.dtype)).reshape(ch.shape)
 
     return jax.vmap(jax.vmap(eq_channel, in_axes=-1, out_axes=-1))(img)

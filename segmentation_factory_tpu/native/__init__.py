@@ -118,6 +118,8 @@ def batch_scale_crop(
     assert lib is not None
     imgs = np.ascontiguousarray(imgs, np.uint8)
     lbls = np.ascontiguousarray(lbls, np.int32)
+    assert imgs.ndim == 4 and imgs.shape[-1] == 3, imgs.shape
+    assert lbls.shape == imgs.shape[:3], (lbls.shape, imgs.shape)
     n, h, w, _ = imgs.shape
     scales = np.ascontiguousarray(scales, np.float32)
     tops = np.ascontiguousarray(tops, np.int32)
@@ -153,6 +155,10 @@ def rotate_pair(
     assert lib is not None
     img = np.ascontiguousarray(img, np.uint8)
     lbl = np.ascontiguousarray(lbl, np.int32)
+    # the C++ writes h*w*3 bytes derived from the LABEL shape — a mismatched
+    # image would be heap corruption, not a Python error
+    assert img.ndim == 3 and img.shape[-1] == 3, img.shape
+    assert img.shape[:2] == lbl.shape, (img.shape, lbl.shape)
     h, w = lbl.shape
     out_i = np.empty_like(img)
     out_l = np.empty_like(lbl)

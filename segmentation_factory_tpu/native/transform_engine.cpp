@@ -30,8 +30,11 @@ inline void bilinear_px(const uint8_t* src, int sh, int sw, int ch, float fy,
   x0 = std::max(0, std::min(x0, sw - 1));
   int y1 = std::min(y0 + 1, sh - 1);
   int x1 = std::min(x0 + 1, sw - 1);
-  float ty = fy - static_cast<float>(y0);
-  float tx = fx - static_cast<float>(x0);
+  // clamp interpolation weights: callers may pass fy/fx slightly outside the
+  // grid (e.g. rotate near borders); extrapolated weights would overflow the
+  // uint8 cast below and wrap around
+  float ty = std::max(0.0f, std::min(fy - static_cast<float>(y0), 1.0f));
+  float tx = std::max(0.0f, std::min(fx - static_cast<float>(x0), 1.0f));
   const uint8_t* p00 = src + (static_cast<size_t>(y0) * sw + x0) * ch;
   const uint8_t* p01 = src + (static_cast<size_t>(y0) * sw + x1) * ch;
   const uint8_t* p10 = src + (static_cast<size_t>(y1) * sw + x0) * ch;
@@ -39,6 +42,7 @@ inline void bilinear_px(const uint8_t* src, int sh, int sw, int ch, float fy,
   for (int c = 0; c < ch; ++c) {
     float v = (1 - ty) * ((1 - tx) * p00[c] + tx * p01[c]) +
               ty * ((1 - tx) * p10[c] + tx * p11[c]);
+    v = std::max(0.0f, std::min(v, 255.0f));
     dst[c] = static_cast<uint8_t>(v + 0.5f);
   }
 }

@@ -201,7 +201,9 @@ def use_pallas_default() -> bool:
     if os.environ.get("SFT_NO_PALLAS"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # the kernel uses pltpu.VMEM BlockSpecs: TPU only (a GPU
+        # backend must fall back to the XLA reference)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -221,14 +223,12 @@ def sra_attention(
         use_pallas = use_pallas_default()
     # VMEM budget: logits tile (tile_q x M fp32) + kv (2 M D) + q tile
     fits = (tile_q * m * 4 + 2 * m * d * 4 + tile_q * d * 4) < 12 * 1024 * 1024
-    if not use_pallas or not fits or n < tile_q:
-        qr = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-        kr = k.transpose(0, 2, 1, 3).reshape(b * h, m, d)
-        vr = v.transpose(0, 2, 1, 3).reshape(b * h, m, d)
-        out = _reference(qr, kr, vr, scale)
-        return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    fused = use_pallas and fits and n >= tile_q
     qr = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
     kr = k.transpose(0, 2, 1, 3).reshape(b * h, m, d)
     vr = v.transpose(0, 2, 1, 3).reshape(b * h, m, d)
-    out = _sra_fused(qr, kr, vr, scale, tile_q)
+    if fused:
+        out = _sra_fused(qr, kr, vr, scale, tile_q)
+    else:
+        out = _reference(qr, kr, vr, scale)
     return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)

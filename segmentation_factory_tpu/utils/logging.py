@@ -82,8 +82,12 @@ class MetricLogger:
             self.meters[k].update(float(v))
 
     def __getattr__(self, name):
-        if name in self.meters:
-            return self.meters[name]
+        # guard via __dict__: during unpickling/copy, __getattr__ fires
+        # before __init__ set self.meters — touching self.meters there
+        # would recurse forever
+        meters = self.__dict__.get("meters")
+        if meters is not None and name in meters:
+            return meters[name]
         raise AttributeError(name)
 
     def log_every(self, iterable: Iterable, total: Optional[int] = None):
