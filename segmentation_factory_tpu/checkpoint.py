@@ -48,6 +48,10 @@ class CheckpointManager:
                 state=ocp.args.StandardSave(tree),
                 metrics=ocp.args.JsonSave(metrics or {}),
             ),
+            # register with orbax's best_fn tracking too: without this the
+            # manager logs 'Requested tracked_metric; did not provide
+            # metrics' on every save and best_step() is None in-session
+            metrics=metrics or {},
         )
 
     def wait(self) -> None:

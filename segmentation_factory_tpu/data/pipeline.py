@@ -70,7 +70,15 @@ class Loader:
         if self.train:
             rng = np.random.default_rng(self.seed * 1000003 + self.epoch)
             rng.shuffle(idx)
-        return idx[self.shard_id :: self.num_shards]
+        shard = idx[self.shard_id :: self.num_shards]
+        if self.num_shards > 1:
+            # every host must see the SAME number of samples/batches or the
+            # per-step collectives deadlock mid-epoch (DistributedSampler's
+            # wrap-around padding, ref train_gpu.py:211-217 semantics)
+            per = -(-n // self.num_shards)
+            if len(shard) < per and n:
+                shard = np.concatenate([shard, idx[: per - len(shard)]])
+        return shard
 
     def _load_one(self, i: int, sample_seed: int):
         img, lbl = self.ds.load(int(i))

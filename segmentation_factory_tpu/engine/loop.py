@@ -57,13 +57,16 @@ class Trainer:
         nc = cfg.model.num_classes
 
         dp = mesh_shape[0]
-        assert d.batch_size % dp == 0, (
-            f"train batch_size {d.batch_size} must be divisible by the data "
-            f"axis ({dp} devices)"
+        # batch_size is PER HOST (config.py); each host feeds its local
+        # slice of the data axis
+        dp_local = max(dp // jax.process_count(), 1)
+        assert d.batch_size % dp_local == 0, (
+            f"per-host batch_size {d.batch_size} must be divisible by the "
+            f"host-local data axis ({dp_local} devices)"
         )
-        # round the eval batch up to the data axis; the loader pads partial
-        # batches with ignore-labelled samples, so metrics are unaffected
-        val_bs = -(-max(d.val_batch_size, 1) // dp) * dp
+        # round the eval batch up to the local data axis; the loader pads
+        # partial batches with ignore-labelled samples, so metrics hold
+        val_bs = -(-max(d.val_batch_size, 1) // dp_local) * dp_local
         self.train_loader = Loader(
             self.train_ds,
             d.batch_size,
@@ -100,6 +103,7 @@ class Trainer:
             cfg.optim.lr,
             total_steps=total_steps,
             warmup_steps=warmup,
+            warmup_lr_init=cfg.optim.warmup_lr,
             min_lr=cfg.optim.min_lr,
             **(cfg.optim.sched_kwargs or {}),
         )
@@ -140,7 +144,24 @@ class Trainer:
         state = create_train_state(
             self.model, jax.random.PRNGKey(cfg.seed), (1, d.img_size, d.img_size, 3), tx
         )
-        self.state: TrainState = jax.device_put(state, self.replicated)
+        if mesh_shape[1] > 1:
+            # tensor parallelism: megatron-style kernel shardings + the
+            # in-model shard_channels constraints (which read the ambient
+            # mesh — hence the `with self.mesh:` around every jitted call)
+            from segmentation_factory_tpu.parallel import param_shardings
+
+            p_sh = param_shardings(state.params, self.mesh)
+            state = state.replace(
+                params=jax.tree_util.tree_map(
+                    jax.device_put, state.params, p_sh
+                ),
+                opt_state=jax.device_put(state.opt_state, self.replicated),
+                batch_stats=jax.device_put(state.batch_stats, self.replicated),
+                step=jax.device_put(state.step, self.replicated),
+            )
+            self.state: TrainState = state
+        else:
+            self.state = jax.device_put(state, self.replicated)
 
         if cfg.model.pretrained_backbone:
             self.state = self._load_pretrained_backbone(
@@ -195,7 +216,9 @@ class Trainer:
         self.train_step = jax.jit(fused_train_step, donate_argnums=0)
         self.eval_step = jax.jit(fused_eval_step, donate_argnums=2)
         # slide / ms+flip eval protocols (cfg.eval.protocol != 'whole')
+        self._plain_forward = plain_forward
         self._forward = jax.jit(plain_forward)
+        self._vol_jit_cache = {}
         self._preproc = jax.jit(preprocess_eval)
         self._update_hist = jax.jit(
             functools.partial(update_confusion_matrix, ignore_index=ign)
@@ -307,8 +330,10 @@ class Trainer:
         it = prefetch_to_device(iter(self.train_loader), self.batch_sharding)
         n = len(self.train_loader)
         skipped = 0
+        mesh_ctx = self.mesh  # shard_channels reads the ambient mesh
         for i, batch in logger.log_every(it, total=n):
-            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            with mesh_ctx:
+                self.state, metrics = self.train_step(self.state, batch, self.rng)
             if (i % cfg.print_freq == 0) or i == n - 1:
                 loss = float(metrics["loss"])
                 lr = float(metrics.get("lr", 0.0))
@@ -320,7 +345,12 @@ class Trainer:
                     self.writer.add_scalar("train_lr", lr, step)
         if skipped:
             print(f"warning: {skipped} sampled steps skipped non-finite loss")
-        return {"train_loss": logger.meters["loss"].global_avg}
+        loss_meter = logger.meters.get("loss")
+        return {
+            "train_loss": loss_meter.global_avg
+            if loss_meter is not None and loss_meter.count
+            else float("nan")
+        }
 
     def evaluate(self) -> dict:
         """Validation pass. Protocol from cfg.eval: 'whole' (the reference
@@ -334,19 +364,35 @@ class Trainer:
             # Loader cannot serve it (datasets.py raises); route through the
             # per-case sliding protocol (ref synapse.py:65-81 returns dicts
             # its own engine can't consume; this is the working version)
-            from segmentation_factory_tpu.infer import evaluate_volumes
+            from segmentation_factory_tpu.infer import (
+                _slide_impl,
+                evaluate_volumes,
+            )
+
+            crop = cfg.eval.crop or cfg.data.img_size
 
             def fwd(x):
-                return self.state.apply_fn(
-                    {"params": self.state.params,
-                     **({"batch_stats": self.state.batch_stats}
-                        if self.state.batch_stats else {})},
-                    x, train=False,
-                )
+                # per-shape jitted program with state as an ARGUMENT (jit
+                # everything — eager multi-op forwards are pathological on
+                # TPU; fresh closures would recompile + leak per epoch)
+                fn = self._vol_jit_cache.get(x.shape)
+                if fn is None:
+                    pf = self._plain_forward
+                    if x.shape[1] > crop or x.shape[2] > crop:
+                        fn = jax.jit(
+                            lambda state, img: _slide_impl(
+                                lambda i: pf(state, i), img, nc, crop
+                            )
+                        )
+                    else:
+                        fn = jax.jit(pf)
+                    self._vol_jit_cache[x.shape] = fn
+                return fn(self.state, x)
 
+            # crop=1<<30 disables evaluate_volumes' own slide branch: fwd
+            # already windows internally with the real crop
             m = evaluate_volumes(
-                fwd, self.val_loader.ds.volumes(), nc,
-                crop=cfg.eval.crop or cfg.data.img_size,
+                fwd, self.val_loader.ds.volumes(), nc, crop=1 << 30,
             )
             m.pop("per_case", None)
             # best-ckpt tracking and results logging key on mIoU/mF1/aAcc;
@@ -362,32 +408,55 @@ class Trainer:
         hist = jax.device_put(jnp.zeros((nc, nc), jnp.uint32), self.replicated)
         it = prefetch_to_device(iter(self.val_loader), self.batch_sharding)
         if cfg.eval.protocol == "whole":
-            for batch in it:
-                hist = self.eval_step(self.state, batch, hist)
+            with self.mesh:
+                for batch in it:
+                    hist = self.eval_step(self.state, batch, hist)
             return compute_metrics(np.asarray(hist))
 
+        if cfg.eval.protocol not in ("slide", "ms_flip"):
+            raise KeyError(f"unknown eval protocol {cfg.eval.protocol!r}")
+        protocol_fn = self._protocol_fn()
+        with self.mesh:
+            for batch in it:
+                x = self._preproc(batch["image"])
+                logits = protocol_fn(self.state, x)
+                hist = self._update_hist(hist, logits, batch["label"])
+        return compute_metrics(np.asarray(hist))
+
+    def _protocol_fn(self):
+        """One jitted (state, image) -> logits program per Trainer for the
+        slide / ms_flip protocols. State is an ARGUMENT (params are not
+        baked in as constants), and the callable is cached on self — a fresh
+        per-epoch closure would force a full window-loop recompile every
+        eval and leak each epoch's params through infer's jit cache."""
+        if getattr(self, "_protocol_jit", None) is not None:
+            return self._protocol_jit
         from segmentation_factory_tpu.infer import (
+            _slide_impl,
             multi_scale_flip_inference,
-            slide_inference,
         )
 
+        cfg = self.cfg
+        nc = cfg.model.num_classes
         crop = cfg.eval.crop or cfg.data.img_size
-        fwd = lambda x: self._forward(self.state, x)  # noqa: E731
-        for batch in it:
-            x = self._preproc(batch["image"])
-            if cfg.eval.protocol == "slide":
-                logits = slide_inference(
-                    fwd, x, nc, crop, stride=cfg.eval.stride
+        fwd = self._plain_forward
+        if cfg.eval.protocol == "slide":
+            stride = cfg.eval.stride
+
+            def run(state, x):
+                return _slide_impl(
+                    lambda i: fwd(state, i), x, nc, crop, stride
                 )
-            elif cfg.eval.protocol == "ms_flip":
-                logits = multi_scale_flip_inference(
-                    fwd, x, nc, scales=cfg.eval.scales, flip=cfg.eval.flip,
-                    crop=crop,
+        else:
+
+            def run(state, x):
+                return multi_scale_flip_inference(
+                    lambda i: fwd(state, i), x, nc, scales=cfg.eval.scales,
+                    flip=cfg.eval.flip, crop=crop,
                 )
-            else:
-                raise KeyError(f"unknown eval protocol {cfg.eval.protocol!r}")
-            hist = self._update_hist(hist, logits, batch["label"])
-        return compute_metrics(np.asarray(hist))
+
+        self._protocol_jit = jax.jit(run)
+        return self._protocol_jit
 
     def fit(self, epochs: Optional[int] = None) -> dict:
         cfg = self.cfg
@@ -416,8 +485,9 @@ class Trainer:
                         "aAcc": m["aAcc"],
                         "epoch": epoch,
                     }
-                    if jax.process_index() == 0:
-                        self.ckpt.save(int(self.state.step), self.state, self.best)
+                    # orbax save is a cross-host collective: every process
+                    # must call it (rank gating would hang multi-host runs)
+                    self.ckpt.save(int(self.state.step), self.state, self.best)
             if jax.process_index() == 0:
                 with open(self.results_path, "a") as f:
                     f.write(json.dumps(stats) + "\n")
