@@ -58,6 +58,7 @@ def main():
         export_savedmodel(
             model, variables, args.img_size, args.out,
             dynamic_batch=args.static_batch is None,
+            batch=args.static_batch or 1,
         )
         print(f"exported SavedModel -> {args.out}")
         if not args.skip_validate:

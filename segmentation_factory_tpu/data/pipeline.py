@@ -61,24 +61,31 @@ class Loader:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self._indices())
+        n = len(self._indices()[0])
         return n // self.batch if self.drop_last else -(-n // self.batch)
 
-    def _indices(self) -> np.ndarray:
+    def _indices(self) -> Tuple[np.ndarray, int]:
+        """Returns (shard indices, count of REAL samples before wrap-around).
+
+        Positions >= the real count are duplicates added only so every host
+        sees the same number of batches (collectives would deadlock
+        otherwise); eval loaders serve them with ignore-labelled targets so
+        the confusion matrix never double-counts a sample (train loaders
+        keep them as real samples — DistributedSampler parity,
+        ref train_gpu.py:211-217).
+        """
         n = len(self.ds)
         idx = np.arange(n)
         if self.train:
             rng = np.random.default_rng(self.seed * 1000003 + self.epoch)
             rng.shuffle(idx)
         shard = idx[self.shard_id :: self.num_shards]
+        n_real = len(shard)
         if self.num_shards > 1:
-            # every host must see the SAME number of samples/batches or the
-            # per-step collectives deadlock mid-epoch (DistributedSampler's
-            # wrap-around padding, ref train_gpu.py:211-217 semantics)
             per = -(-n // self.num_shards)
             if len(shard) < per and n:
                 shard = np.concatenate([shard, idx[: per - len(shard)]])
-        return shard
+        return shard, n_real
 
     def _load_one(self, i: int, sample_seed: int):
         img, lbl = self.ds.load(int(i))
@@ -105,13 +112,14 @@ class Loader:
         return img.astype(np.uint8), lbl.astype(np.int32)
 
     def __iter__(self) -> Iterator[dict]:
-        idx = self._indices()
+        idx, n_real = self._indices()
         base = self.seed * 7919 + self.epoch * 104729
         with ThreadPoolExecutor(self.workers) as pool:
             n_full = len(idx) // self.batch
             n_batches = n_full if self.drop_last else -(-len(idx) // self.batch)
             for bi in range(n_batches):
-                chunk = idx[bi * self.batch : (bi + 1) * self.batch]
+                lo = bi * self.batch
+                chunk = idx[lo : lo + self.batch]
                 pad_to = self.batch - len(chunk)
                 results = list(
                     pool.map(
@@ -120,6 +128,12 @@ class Loader:
                 )
                 imgs = np.stack([r[0] for r in results])
                 lbls = np.stack([r[1] for r in results])
+                if not self.train and lo + len(chunk) > n_real:
+                    # wrap-around duplicates: real pixels must not be counted
+                    # twice in the eval confusion matrix — blank their labels
+                    # (the forward still runs, keeping collectives in step)
+                    lbls = lbls.copy()
+                    lbls[max(n_real - lo, 0):] = self.ds.ignore_index
                 if pad_to:  # pad final partial batch with ignore-only samples
                     imgs = np.concatenate(
                         [imgs, np.zeros((pad_to, *imgs.shape[1:]), np.uint8)]

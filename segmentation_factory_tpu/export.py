@@ -63,6 +63,7 @@ def export_savedmodel(
     img_size: int,
     out_dir: str,
     dynamic_batch: bool = True,
+    batch: int = 1,
 ):
     """TF SavedModel export via jax2tf — a second deployment artifact for
     TF-serving stacks, and the bridge to actual .onnx (offline
@@ -80,8 +81,10 @@ def export_savedmodel(
         jax2tf.convert(forward, polymorphic_shapes=[poly] if poly else None),
         autograph=False,
         input_signature=[
-            tf.TensorSpec([None if dynamic_batch else 1, img_size, img_size, 3],
-                          tf.float32)
+            tf.TensorSpec(
+                [None if dynamic_batch else batch, img_size, img_size, 3],
+                tf.float32,
+            )
         ],
     )
     module = tf.Module()

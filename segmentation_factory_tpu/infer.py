@@ -13,6 +13,7 @@ unique window shape compiles once; scale set and window grid are static.
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -59,7 +60,12 @@ def overlay(image_u8: np.ndarray, seg_rgb: np.ndarray, alpha: float = 0.6) -> np
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-_SLIDE_JIT_CACHE: dict = {}
+# Bounded LRU: each compiled slide program keeps its receiver (weights baked
+# in as constants) alive, so a long-lived process that reloads checkpoints
+# into fresh SemSeg instances must not accumulate stale programs — cap the
+# cache and evict least-recently-used entries (and their parameter copies).
+_SLIDE_JIT_CACHE: OrderedDict = OrderedDict()
+_SLIDE_JIT_CACHE_MAX = 8
 
 
 def slide_inference(
@@ -95,6 +101,10 @@ def slide_inference(
             lambda img: _slide_impl(forward, img, num_classes, crop, stride)
         )
         _SLIDE_JIT_CACHE[key] = fn
+        while len(_SLIDE_JIT_CACHE) > _SLIDE_JIT_CACHE_MAX:
+            _SLIDE_JIT_CACHE.popitem(last=False)
+    else:
+        _SLIDE_JIT_CACHE.move_to_end(key)
     return fn(image)
 
 

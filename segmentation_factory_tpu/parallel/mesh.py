@@ -134,14 +134,20 @@ def initialize_multihost() -> None:
     # query initializes the local runtime first, after which
     # jax.distributed.initialize() is guaranteed to fail. Decide from the
     # environment instead (the same signals jax itself auto-detects).
-    # explicit coordinator addresses only: TPU_WORKER_HOSTNAMES also appears
-    # on single-host setups (e.g. tunneled single-chip backends) where
-    # initialize() would raise 'coordinator_address should be defined'
+    # an explicit coordinator address always triggers initialize(); so does a
+    # TPU-pod auto-detectable environment (TPU_WORKER_HOSTNAMES listing >1
+    # host — there jax.distributed derives the coordinator itself, and orbax
+    # multi-host checkpoint barriers REQUIRE the distributed service).
+    # A single-entry TPU_WORKER_HOSTNAMES (tunneled single-chip backends)
+    # stays a no-op: initialize() would raise 'coordinator_address should be
+    # defined' without adding anything.
     coord_env = (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
         "MEGASCALE_COORDINATOR_ADDRESS",
     )
-    if not any(os.environ.get(k) for k in coord_env):
+    worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker_pod = len([h for h in worker_hosts.split(",") if h.strip()]) > 1
+    if not any(os.environ.get(k) for k in coord_env) and not multi_worker_pod:
         return  # single-host run (tests, notebooks, single chip)
     try:
         jax.distributed.initialize()

@@ -114,6 +114,34 @@ def test_loader_sharding_partitions():
     assert sum(seen) == 8
 
 
+def test_eval_shard_wraparound_served_as_ignore():
+    # 7 samples over 2 shards: shard 1 gets 3 real + 1 wrap-around duplicate.
+    # Eval loaders must blank the duplicate's labels (ignore_index) so the
+    # confusion matrix never double-counts a sample; train loaders keep
+    # duplicates real (DistributedSampler parity).
+    ds = Synthetic(num_classes=4, size=16, length=7)
+    real_total = 0
+    for shard in range(2):
+        l = Loader(ds, 2, 16, train=False, num_workers=1, shard_id=shard,
+                   num_shards=2, eval_hw=(16, 16))
+        for b in l:
+            for s in range(b["label"].shape[0]):
+                if not (b["label"][s] == ds.ignore_index).all():
+                    real_total += 1
+    assert real_total == 7  # 8 served, exactly 1 blanked
+
+    # train: the duplicate stays a real sample
+    train_real = 0
+    for shard in range(2):
+        l = Loader(ds, 2, 16, train=True, num_workers=1, shard_id=shard,
+                   num_shards=2, drop_last=False)
+        for b in l:
+            for s in range(b["label"].shape[0]):
+                if not (b["label"][s] == ds.ignore_index).all():
+                    train_real += 1
+    assert train_real == 8
+
+
 def test_build_dataset_dispatch():
     ds = build_dataset("synthetic", "", "train", num_classes=4, size=16, length=4)
     assert len(ds) == 4

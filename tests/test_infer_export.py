@@ -81,6 +81,22 @@ def test_slide_inference_sharded_matches_serial(small_model):
     )
 
 
+def test_slide_jit_cache_is_bounded():
+    import segmentation_factory_tpu.infer as inf
+
+    inf._SLIDE_JIT_CACHE.clear()
+
+    def fwd(img):
+        return jnp.zeros((img.shape[0], img.shape[1], img.shape[2], 2))
+
+    # more distinct (shape, crop) keys than the cap: stale compiled programs
+    # (which keep their receivers/params alive) must be evicted, not hoarded
+    for size in range(8, 8 + 2 * (inf._SLIDE_JIT_CACHE_MAX + 2), 2):
+        slide_inference(fwd, jnp.zeros((1, size, size, 3)), 2, crop=4, stride=2)
+    assert len(inf._SLIDE_JIT_CACHE) <= inf._SLIDE_JIT_CACHE_MAX
+    inf._SLIDE_JIT_CACHE.clear()
+
+
 def test_multi_scale_flip_inference(small_model):
     _, _, fwd = small_model
     img = jnp.asarray(
