@@ -137,6 +137,11 @@ class Trainer:
         # state.step counts MICRO-steps; the schedule is indexed in
         # optimizer updates, so the logged lr must divide the index down
         k_accum = max(cfg.optim.grad_accum, 1)
+        from segmentation_factory_tpu.schedule import PlateauSchedule
+
+        self._plateau = (
+            self.schedule if isinstance(self.schedule, PlateauSchedule) else None
+        )
         self.lr_for_logging = (
             self.schedule if k_accum == 1
             else (lambda t: self.schedule(t // k_accum))
@@ -337,6 +342,10 @@ class Trainer:
             if (i % cfg.print_freq == 0) or i == n - 1:
                 loss = float(metrics["loss"])
                 lr = float(metrics.get("lr", 0.0))
+                if self._plateau is not None:
+                    # the jitted step baked the trace-time lr; the live one
+                    # sits in the injected hyperparam — log that instead
+                    lr = self._plateau.current_lr(int(self.state.step))
                 skipped += int(metrics.get("skipped_nonfinite", 0))
                 logger.update(loss=loss, lr=lr)
                 if self.writer is not None:
@@ -471,6 +480,22 @@ class Trainer:
                 stats.update(
                     {k: m[k] for k in ("mIoU", "mF1", "mAcc", "aAcc")}
                 )
+                if self._plateau is not None:
+                    # reduce-on-plateau (ref plateau_lr.py:12-110): the
+                    # decision runs on host, the new LR lands in the live
+                    # opt_state's injected hyperparam — no retrace
+                    from segmentation_factory_tpu.engine.state import (
+                        set_plateau_lr,
+                    )
+
+                    old_lr = self._plateau.lr
+                    new_lr = self._plateau.step(m["mIoU"])
+                    if new_lr != old_lr:
+                        print(f"plateau: lr {old_lr:.3g} -> {new_lr:.3g}")
+                    self.state = self.state.replace(
+                        opt_state=set_plateau_lr(self.state.opt_state, new_lr)
+                    )
+                    stats["lr"] = new_lr
                 print(
                     f"epoch {epoch}: mIoU {m['mIoU']:.2f} mF1 {m['mF1']:.2f} "
                     f"aAcc {m['aAcc']:.2f}"

@@ -90,6 +90,132 @@ def recalibrate_bn(state: "TrainState", batches, num_steps: int = 50) -> "TrainS
     return state.replace(batch_stats=bs)
 
 
+def _build_core(opt, lr, weight_decay, momentum, wd_mask, adam_kw):
+    """One optimizer by its timm ``--opt`` string (ref train_gpu.py:14-16
+    inherits timm create_optimizer; this is the optax surface for the same
+    names). Two decay conventions, both matching what timm hands torch:
+
+    - DECOUPLED (adamw/nadamw/adamaxw/lamb/lion/adamp/sgdp): the optimizer's
+      own weight_decay + no-decay mask.
+    - COUPLED L2 (everything else): wd*p added to the gradient before the
+      optimizer statistics — exactly torch's ``weight_decay`` param.
+    """
+    from segmentation_factory_tpu.engine.optimizers import adamp, sgdp
+
+    def l2(inner):
+        if not weight_decay:
+            return inner
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=wd_mask), inner
+        )
+
+    b1 = adam_kw.get("b1", 0.9)
+    if opt == "adamw":
+        return optax.adamw(lr, weight_decay=weight_decay, mask=wd_mask,
+                           **adam_kw)
+    if opt == "nadamw":
+        return optax.nadamw(lr, weight_decay=weight_decay, mask=wd_mask,
+                            **adam_kw)
+    if opt == "adamaxw":
+        kw = {k: v for k, v in adam_kw.items() if k != "eps_root"}
+        return optax.adamaxw(lr, weight_decay=weight_decay, mask=wd_mask, **kw)
+    if opt == "lamb":
+        return optax.lamb(lr, weight_decay=weight_decay, mask=wd_mask,
+                          **adam_kw)
+    if opt == "lion":
+        kw = {k: v for k, v in adam_kw.items() if k in ("b1", "b2")}
+        return optax.lion(lr, weight_decay=weight_decay, mask=wd_mask, **kw)
+    if opt == "adamp":
+        return adamp(lr, weight_decay=weight_decay, mask=wd_mask, **adam_kw)
+    if opt == "sgdp":
+        return sgdp(lr, momentum=momentum, weight_decay=weight_decay,
+                    mask=wd_mask)
+    if opt == "adam":
+        return l2(optax.adam(lr, **adam_kw))
+    if opt == "nadam":
+        return l2(optax.nadam(lr, **adam_kw))
+    if opt == "radam":
+        return l2(optax.radam(lr, **adam_kw))
+    if opt == "adamax":
+        kw = {k: v for k, v in adam_kw.items() if k != "eps_root"}
+        return l2(optax.adamax(lr, **kw))
+    if opt == "adabelief":
+        return l2(optax.adabelief(lr, **adam_kw))
+    if opt in ("sgd", "momentum"):
+        return l2(optax.sgd(lr, momentum=momentum, nesterov=True))
+    if opt == "nesterov":
+        return l2(optax.sgd(lr, momentum=momentum, nesterov=True))
+    if opt == "adadelta":
+        eps = adam_kw.get("eps", 1e-6)
+        return l2(optax.adadelta(lr, eps=eps))
+    if opt == "adagrad":
+        return l2(optax.adagrad(lr))
+    if opt == "rmsprop":
+        # timm rmsprop = torch RMSprop: eps OUTSIDE the sqrt, alpha=0.9
+        eps = adam_kw.get("eps", 1e-8)
+        return l2(optax.rmsprop(lr, decay=0.9, eps=eps, eps_in_sqrt=False,
+                                momentum=momentum or None))
+    if opt == "rmsproptf":
+        # timm rmsprop_tf: TF1 semantics — eps INSIDE the sqrt, ones init
+        eps = adam_kw.get("eps", 1e-10)
+        return l2(optax.rmsprop(lr, decay=0.9, eps=eps, eps_in_sqrt=True,
+                                initial_scale=1.0, momentum=momentum or None))
+    if opt == "novograd":
+        return optax.novograd(lr, b1=b1, b2=adam_kw.get("b2", 0.25),
+                              weight_decay=weight_decay)
+    if opt == "lars":
+        return optax.lars(lr, weight_decay=weight_decay, momentum=momentum)
+    if opt == "yogi":
+        kw = {k: v for k, v in adam_kw.items() if k != "eps_root"}
+        return l2(optax.yogi(lr, **kw))
+    if opt == "adafactor":
+        return optax.adafactor(lr, weight_decay_rate=weight_decay or None)
+    raise KeyError(
+        f"unknown optimizer {opt!r}; available: {sorted(OPTIMIZERS)}"
+    )
+
+
+OPTIMIZERS = (
+    "adamw", "nadamw", "adamaxw", "lamb", "lion", "adamp", "sgdp",
+    "adam", "nadam", "radam", "adamax", "adabelief",
+    "sgd", "momentum", "nesterov",
+    "adadelta", "adagrad", "rmsprop", "rmsproptf",
+    "novograd", "lars", "yogi", "adafactor",
+)
+
+
+def set_plateau_lr(opt_state, lr: float):
+    """Write a new learning rate into a plateau optimizer's injected slot.
+
+    The plateau tx (create_optimizer with a PlateauSchedule) scales updates
+    by an ``optax.inject_hyperparams(optax.scale)`` stage whose ``step_size``
+    lives in the optimizer STATE — so the jitted train step picks the change
+    up as a new argument value, with no retrace and no tx rebuild (ref
+    plateau_lr.py:12-110 semantics under jit). Works through chain tuples,
+    MultiSteps, and the finetune-freeze wrapper.
+    """
+
+    def walk(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "step_size" in hp:
+            old = hp["step_size"]
+            new = jnp.asarray(lr, jnp.asarray(old).dtype)
+            if hasattr(old, "sharding"):
+                new = jax.device_put(new, old.sharding)
+            new_hp = dict(hp)
+            new_hp["step_size"] = new
+            return s._replace(hyperparams=new_hp)
+        if isinstance(s, tuple) and hasattr(s, "_fields"):
+            return type(s)(*(walk(v) for v in s))
+        if isinstance(s, tuple):
+            return tuple(walk(v) for v in s)
+        if isinstance(s, list):
+            return [walk(v) for v in s]
+        return s
+
+    return walk(opt_state)
+
+
 def create_optimizer(
     opt: str,
     schedule: Callable,
@@ -101,6 +227,17 @@ def create_optimizer(
     eps: Optional[float] = None,  # ref --opt-eps (train_gpu.py)
     betas: Optional[tuple] = None,  # ref --opt-betas
 ) -> optax.GradientTransformation:
+    """Optimizer factory over the timm ``--opt`` surface (23 names).
+
+    ``schedule`` is either a step->lr callable (jit-traced) or a
+    :class:`~segmentation_factory_tpu.schedule.PlateauSchedule`; in the
+    plateau case the LR becomes a runtime hyperparameter in the optimizer
+    state (core runs at lr=1.0, an inject_hyperparams(scale) stage applies
+    the current plateau LR, a scale_by_schedule stage applies warmup), so
+    :func:`set_plateau_lr` can change it between epochs without retracing.
+    """
+    from segmentation_factory_tpu.schedule import PlateauSchedule
+
     opt = opt.lower()
     # optax accepts a callable mask, so the timm no-decay convention applies
     # even when params aren't known yet (the mask is built lazily at init)
@@ -110,22 +247,20 @@ def create_optimizer(
         adam_kw["eps"] = eps
     if betas is not None:
         adam_kw["b1"], adam_kw["b2"] = betas
-    if opt == "adamw":
-        core = optax.adamw(schedule, weight_decay=weight_decay, mask=wd_mask,
-                           **adam_kw)
-    elif opt == "adam":
-        core = optax.adam(schedule, **adam_kw)
-    elif opt == "sgd":
-        core = optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=wd_mask),
-            optax.sgd(schedule, momentum=momentum, nesterov=True),
+
+    plateau = isinstance(schedule, PlateauSchedule)
+    lr_arg = 1.0 if plateau else schedule
+    core = _build_core(opt, lr_arg, weight_decay, momentum, wd_mask, adam_kw)
+    stages = [_clip_transform(clip_grad, clip_mode), core]
+    if plateau:
+        stages.append(
+            optax.inject_hyperparams(optax.scale)(
+                step_size=float(schedule.lr)
+            )
         )
-    elif opt == "lamb":
-        core = optax.lamb(schedule, weight_decay=weight_decay, mask=wd_mask,
-                          **adam_kw)
-    else:
-        raise KeyError(f"unknown optimizer {opt!r}")
-    return optax.chain(_clip_transform(clip_grad, clip_mode), core)
+        if schedule.warmup_steps > 0:
+            stages.append(optax.scale_by_schedule(schedule.warmup_fraction))
+    return optax.chain(*stages)
 
 
 def create_train_state(

@@ -201,11 +201,14 @@ class PlateauSchedule:
     """Metric-driven reduce-on-plateau with warmup (ref plateau_lr.py:12+).
 
     Host-side stateful (the decision depends on eval metrics, which only
-    exist between epochs); call ``step(metric)`` per epoch and pass the
-    object as ``learning_rate_fn`` — it reads ``self.lr`` at trace time via
-    a closure-free float, so re-jitting is avoided by feeding the lr as a
-    schedule of the optimizer state step: use with optax.inject_hyperparams
-    or rebuild the tx when it changes.
+    exist between epochs). Wiring: pass the OBJECT as the ``schedule``
+    argument of ``create_optimizer`` — it builds the core at lr=1.0 and
+    injects the current plateau LR as a runtime hyperparameter in the
+    optimizer state (``optax.inject_hyperparams(optax.scale)``), with
+    warmup applied by a ``scale_by_schedule`` stage reading
+    :meth:`warmup_fraction`. After each eval, the Trainer calls
+    ``step(metric)`` and pushes the (possibly reduced) LR into the live
+    ``opt_state`` via ``engine.set_plateau_lr`` — no retrace, no tx rebuild.
     """
 
     def __init__(self, base_lr: float, mode: str = "max", factor: float = 0.1,
@@ -239,8 +242,28 @@ class PlateauSchedule:
                 self.bad_epochs = 0
         return self.lr
 
+    def warmup_fraction(self, t):
+        """warmup-ramp / base_lr as a pure schedule (1.0 after warmup).
+
+        Composes with the injected plateau LR: effective lr =
+        ``injected_lr * warmup_fraction(update_count)``.
+        """
+        t = jnp.asarray(t, jnp.float32)
+        if self.warmup_steps <= 0:
+            return jnp.ones((), jnp.float32)
+        frac = jnp.clip(t / self.warmup_steps, 0.0, 1.0)
+        warm = self.warmup_lr_init + frac * (self.base_lr - self.warmup_lr_init)
+        return jnp.where(t < self.warmup_steps, warm / self.base_lr, 1.0)
+
+    def current_lr(self, t: int) -> float:
+        """Host-side effective LR at update ``t`` (for logging)."""
+        return float(self.lr) * float(self.warmup_fraction(t))
+
     def __call__(self, t):
-        # iteration-level warmup, then the current plateau-controlled lr
+        # iteration-level warmup, then the current plateau-controlled lr.
+        # NB: under jit this bakes self.lr at TRACE time — it exists for
+        # plotting/tests; the live training path reads the injected
+        # hyperparameter instead (see class docstring).
         t = jnp.asarray(t, jnp.float32)
         if self.warmup_steps > 0:
             frac = jnp.clip(t / self.warmup_steps, 0.0, 1.0)

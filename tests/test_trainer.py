@@ -104,6 +104,37 @@ def test_evaluate_protocols_agree(tmp_path, ds_pair):
     assert abs(m_slide["aAcc"] - m_whole["aAcc"]) < 15.0
 
 
+def test_plateau_drops_lr_inside_running_fit(tmp_path, ds_pair):
+    """--sched plateau end-to-end: a stagnating eval metric reduces the LR of
+    the LIVE jitted training loop (VERDICT r2 item 3; ref plateau_lr.py)."""
+    train_ds, val_ds = ds_pair
+    cfg = tiny_cfg(tmp_path / "plat", epochs=3)
+    cfg.optim.sched = "plateau"
+    cfg.optim.warmup_steps = 0
+    cfg.optim.sched_kwargs = {"factor": 0.5, "patience": 0, "mode": "max"}
+    t = Trainer(cfg, train_ds=train_ds, val_ds=val_ds)
+    # stagnating metric: every eval returns the same mIoU
+    t.evaluate = lambda: {"mIoU": 42.0, "mF1": 42.0, "mAcc": 42.0, "aAcc": 42.0}
+    t.fit()
+    # evals at epochs 0,1,2: first sets best, the next two each halve the lr
+    assert t.schedule.lr == pytest.approx(cfg.optim.lr * 0.25)
+
+    # the LIVE opt_state carries the dropped lr (what the jitted step reads)
+    found = []
+
+    def walk(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "step_size" in hp:
+            found.append(float(np.asarray(hp["step_size"])))
+        if isinstance(s, tuple):
+            for v in s:
+                walk(v)
+
+    walk(t.state.opt_state)
+    assert found == [pytest.approx(cfg.optim.lr * 0.25)]
+    t.ckpt.close()
+
+
 def test_trainer_evaluate_routes_synapse_to_volumes(tmp_path, ds_pair):
     """cfg.data.dataset='synapse' must route Trainer.evaluate through the
     per-case volumetric protocol — the slice Loader raises on the val split
