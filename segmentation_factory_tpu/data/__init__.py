@@ -9,6 +9,7 @@ from segmentation_factory_tpu.data.datasets import (  # noqa: F401
     SynapseCT,
     VOCSegmentation,
     build_dataset,
+    download_voc,
     voc_colormap,
 )
 from segmentation_factory_tpu.data.pipeline import Loader, prefetch_to_device  # noqa: F401

@@ -135,6 +135,78 @@ def voc_colormap(n: int = 256) -> np.ndarray:
     return cmap
 
 
+# official trainval tarballs (ref voc.py:15-52 DATASET_YEAR_DICT)
+VOC_YEAR_URLS = {
+    "2012": (
+        "http://host.robots.ox.ac.uk/pascal/VOC/voc2012/VOCtrainval_11-May-2012.tar",
+        "6cd6e144f989b92b3379bac3b3de84fd",
+    ),
+    "2011": (
+        "http://host.robots.ox.ac.uk/pascal/VOC/voc2011/VOCtrainval_25-May-2011.tar",
+        "6c3384ef61512963050cb5d687e5bf1e",
+    ),
+    "2010": (
+        "http://host.robots.ox.ac.uk/pascal/VOC/voc2010/VOCtrainval_03-May-2010.tar",
+        "da459979d0c395079b5c75ee67908abb",
+    ),
+    "2009": (
+        "http://host.robots.ox.ac.uk/pascal/VOC/voc2009/VOCtrainval_11-May-2009.tar",
+        "59065e4b188729180974ef6572f6a212",
+    ),
+    "2008": (
+        "http://host.robots.ox.ac.uk/pascal/VOC/voc2008/VOCtrainval_14-Jul-2008.tar",
+        "2629fa636546599198acfcfbfcf1904a",
+    ),
+    "2007": (
+        "http://host.robots.ox.ac.uk/pascal/VOC/voc2007/VOCtrainval_06-Nov-2007.tar",
+        "c52e279531787c972589f7e41ab4ae64",
+    ),
+}
+
+
+def download_voc(root: str, year: str = "2012") -> str:
+    """Download + extract the official VOC trainval tarball into ``root``.
+
+    Equivalent of the reference's ``download_extract``
+    (/root/reference/datasets/voc.py:256-259, wired by ``download=True``
+    at :181-182) without the torchvision dependency: stdlib urllib +
+    md5 verification + tarfile. Skips the download when the archive is
+    already present and verified. Returns the extracted VOCdevkit dir.
+    """
+    import hashlib
+    import tarfile
+    import urllib.request
+
+    if year not in VOC_YEAR_URLS:
+        raise KeyError(f"unknown VOC year {year!r}; have {sorted(VOC_YEAR_URLS)}")
+    url, md5 = VOC_YEAR_URLS[year]
+    os.makedirs(root, exist_ok=True)
+    tar_path = os.path.join(root, os.path.basename(url))
+
+    def verified() -> bool:
+        if not os.path.isfile(tar_path):
+            return False
+        h = hashlib.md5()
+        with open(tar_path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest() == md5
+
+    if not verified():
+        try:
+            urllib.request.urlretrieve(url, tar_path)
+        except Exception as e:
+            raise RuntimeError(
+                f"could not download {url} ({e}); on an air-gapped machine, "
+                f"place the verified tarball at {tar_path} and re-run"
+            ) from e
+        if not verified():
+            raise RuntimeError(f"md5 mismatch for {tar_path} (expected {md5})")
+    with tarfile.open(tar_path, "r") as tar:
+        tar.extractall(path=root)
+    return os.path.join(root, "VOCdevkit")
+
+
 class VOCSegmentation(SegDataset):
     CLASSES = (
         "background", "aeroplane", "bicycle", "bird", "boat", "bottle",

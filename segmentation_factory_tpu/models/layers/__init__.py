@@ -19,4 +19,5 @@ from segmentation_factory_tpu.models.layers.norm import (  # noqa: F401
     GroupNorm,
     LayerNorm,
     build_norm,
+    set_norm_eps,
 )

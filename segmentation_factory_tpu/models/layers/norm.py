@@ -146,6 +146,52 @@ NORMS: dict[str, Callable] = {
 }
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def set_norm_eps(eps: float):
+    """Override the epsilon of EVERY norm layer built inside the context.
+
+    Equivalent of the reference's ``set_norm_eps(model, eps)``
+    (/root/reference/models/layers/norm.py:138-142), which mutates
+    ``m.eps`` on all norm modules in place — used for finetune/export
+    numerical robustness. Flax modules are immutable and reconstructed on
+    every ``apply``, so the TPU-native form is a construction-time override:
+    wrap the TRACE (an ``apply``, a ``jax.jit`` compile, or an export) —
+
+        with set_norm_eps(1e-3):
+            y = model.apply(variables, x, train=False)
+            # or: exported = export_model(model, variables, ...)
+
+    Anything compiled inside the context bakes the new eps; programs
+    compiled outside are unaffected (do not flip eps between calls of one
+    already-jitted function — jit caches by shape, not by this override).
+    Covers raw ``nn.LayerNorm``/``nn.BatchNorm``/``nn.GroupNorm``/
+    ``nn.RMSNorm`` construction sites as well as the wrappers above.
+    """
+    classes = [nn.LayerNorm, nn.BatchNorm, nn.GroupNorm]
+    if hasattr(nn, "RMSNorm"):
+        classes.append(nn.RMSNorm)
+    classes += [BatchNorm, FrozenBatchNorm, LayerNorm, GroupNorm, GRN]
+    originals = {}
+    try:
+        for c in classes:
+            orig = c.__post_init__
+            originals[c] = orig
+
+            def patched(self, _orig=orig):
+                _orig(self)
+                if hasattr(self, "epsilon"):
+                    object.__setattr__(self, "epsilon", eps)
+
+            c.__post_init__ = patched
+        yield
+    finally:
+        for c, orig in originals.items():
+            c.__post_init__ = orig
+
+
 def build_norm(name: Optional[str], **kwargs) -> Optional[nn.Module]:
     """Name -> norm module instance; None -> None (ref norm.py:36-46)."""
     if not name:

@@ -204,3 +204,52 @@ def test_ohem_aux_weights_are_unity():
     assert abs(p_ohem - 2.0 * s_ohem) < 1e-5  # [1, 1]
     s_ce, p_ce = total("ce")
     assert abs(p_ce - 1.4 * s_ce) < 1e-5  # [1, 0.4]
+
+
+def test_set_norm_eps_overrides_all_norms():
+    """set_norm_eps equivalent (ref norm.py:138-142): every norm built
+    inside the context uses the new eps — raw flax norms included."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from segmentation_factory_tpu.models.layers import set_norm_eps
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.LayerNorm()(x) + nn.GroupNorm(num_groups=2)(x)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 4, 8)) * 1e-4,
+                    jnp.float32)
+    m = M()
+    v = m.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(m.apply(v, x))
+    with set_norm_eps(10.0):
+        big = np.asarray(m.apply(v, x))
+    after = np.asarray(m.apply(v, x))
+    # tiny activations: eps=10 crushes the normalized output
+    assert np.abs(big).max() < 0.1 * np.abs(base).max()
+    # the override is scoped: construction outside the context is untouched
+    np.testing.assert_allclose(after, base)
+
+
+def test_download_voc_offline_paths(tmp_path):
+    """Unknown year raises; offline download surfaces a clear error telling
+    the user where to place the tarball (zero-egress environments)."""
+    import pytest
+
+    from segmentation_factory_tpu.data import download_voc
+
+    with pytest.raises(KeyError):
+        download_voc(str(tmp_path), year="1999")
+    with pytest.raises(RuntimeError, match="place the verified tarball"):
+        import urllib.request
+        from unittest import mock
+
+        with mock.patch.object(
+            urllib.request, "urlretrieve",
+            side_effect=OSError("no route to host"),
+        ):
+            download_voc(str(tmp_path), year="2012")
