@@ -1165,6 +1165,94 @@ def convert_mobilenetv4(sd: Dict, variant: str) -> Dict:
     return {"params": p, "batch_stats": s}
 
 
+def convert_kat(sd: Dict, depth: int, num_heads: int, grid=None) -> Dict:
+    """KAT / timm-ViT state dict -> our KATVisionTransformer tree.
+
+    Mirrors the reference's checkpoint-import surface
+    (kantransformer.py:1030-1148 checkpoint_filter_fn + the CLIP/DINOv2
+    converters feed the same timm-ViT key layout): patch embed, prefix-token
+    stripping, pos-embed grid resample (:862-886, here via
+    ``kat.resample_pos_embed`` at ``grid``), fused qkv -> per-head q/k/v
+    kernels, KAN fc1/fc2, and the KAT_Group rational coefficients
+    (``weight_numerator``/``weight_denominator``, broadcast to our
+    (groups, 6)/(groups, 4) layout). The class token has no place in a
+    dense-feature backbone and is dropped. The ViTDet pyramid-adapter convs
+    are ours alone and stay at init.
+    """
+    from segmentation_factory_tpu.models.backbones.kat import resample_pos_embed
+
+    p: Dict = {}
+    if "patch_embed.proj.weight" in sd:
+        p["patch_embed"] = t_conv(sd, "patch_embed.proj")
+    if "pos_embed" in sd:
+        pos = np.asarray(sd["pos_embed"])
+        if pos.ndim == 3:
+            pos = pos[0]
+        n_grid = int(round(float(np.sqrt(pos.shape[0]))))
+        if n_grid * n_grid != pos.shape[0]:  # leading prefix (cls) tokens
+            n_prefix = pos.shape[0] - n_grid * n_grid
+            pos = pos[n_prefix:]
+        if grid is not None:
+            import jax.numpy as jnp
+
+            pos = np.asarray(
+                resample_pos_embed(jnp.asarray(pos), (grid, grid))
+            )
+        p["pos_embed"] = pos
+
+    def rational(prefix):
+        out = {}
+        for torch_key, ours, width in (
+            ("weight_numerator", "a", 6),
+            ("weight_denominator", "b", 4),
+        ):
+            key = f"{prefix}.{torch_key}"
+            if key not in sd:
+                continue
+            w = np.asarray(sd[key]).reshape(-1)[-width:]
+            out[ours] = np.broadcast_to(w, (8, width)).copy()
+            full = np.asarray(sd[key]).reshape(-1, width)
+            if full.shape[0] == 8:  # already per-group
+                out[ours] = full
+        return out
+
+    for i in range(depth):
+        r = f"blocks.{i}"
+        blk = {
+            "norm1": t_ln(sd, f"{r}.norm1"),
+            "norm2": t_ln(sd, f"{r}.norm2"),
+            "fc1": t_linear(sd, f"{r}.mlp.fc1"),
+            "fc2": t_linear(sd, f"{r}.mlp.fc2"),
+        }
+        rat1 = rational(f"{r}.mlp.act1")
+        rat2 = rational(f"{r}.mlp.act2")
+        if rat1:
+            blk["rational1"] = rat1
+        if rat2:
+            blk["rational"] = rat2
+        qkv_w = np.asarray(sd[f"{r}.attn.qkv.weight"])  # (3D, D)
+        d = qkv_w.shape[1]
+        hd = d // num_heads
+        attn = {}
+        for j, name in enumerate(("query", "key", "value")):
+            w = qkv_w[j * d:(j + 1) * d]  # (D_out, D_in)
+            attn[name] = {"kernel": w.T.reshape(d, num_heads, hd)}
+            bkey = f"{r}.attn.qkv.bias"
+            if bkey in sd:
+                attn[name]["bias"] = np.asarray(sd[bkey])[
+                    j * d:(j + 1) * d
+                ].reshape(num_heads, hd)
+        proj_w = np.asarray(sd[f"{r}.attn.proj.weight"])  # (D, D)
+        attn["out"] = {"kernel": proj_w.T.reshape(num_heads, hd, d)}
+        if f"{r}.attn.proj.bias" in sd:
+            attn["out"]["bias"] = np.asarray(sd[f"{r}.attn.proj.bias"])
+        blk["attn"] = attn
+        p[f"block{i}"] = blk
+    if "norm.weight" in sd:
+        p["norm"] = t_ln(sd, "norm")
+    return {"params": p, "batch_stats": {}}
+
+
 def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
     """Dispatch a reference BACKBONE state dict to the right converter
     (the `--pretrained_backbone` flow, ref build_models.py:56-60 which
@@ -1211,6 +1299,11 @@ def convert_backbone(sd: Dict, backbone_name: str) -> Dict:
 
         _, depths = EFFICIENTVIT_LARGE_SETTINGS[name.split("_", 1)[1]]
         return convert_efficientvit_l(sd, depths)
+    if name.startswith("kat_"):
+        from segmentation_factory_tpu.models.backbones.kat import KAT_SETTINGS
+
+        _, depth, heads = KAT_SETTINGS[name.split("_")[1]]
+        return convert_kat(sd, depth, heads)
     if name == "mobilenetv2":
         return convert_mobilenetv2(sd)
     if name.startswith("mobilenetv4_"):

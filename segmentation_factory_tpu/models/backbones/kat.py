@@ -107,6 +107,26 @@ class RationalActivation(nn.Module):
         return y.reshape(orig_shape).astype(x.dtype)
 
 
+def resample_pos_embed(pos: jax.Array, grid_hw) -> jax.Array:
+    """Bicubic token-grid resize of a (N, D) learned position embedding.
+
+    Rebuild of the reference's resize_pos_embed / resample_abs_pos_embed
+    (kantransformer.py:862-886): reshape the flat tokens to their square
+    source grid, bicubic-resample to ``grid_hw``, flatten back. Pure XLA
+    (static shapes), so it also runs inside a jitted apply — enabling
+    train-512 / eval-1024 workflows with one stored embedding.
+    """
+    h, w = grid_hw
+    n, d = pos.shape
+    if n == h * w:
+        return pos
+    gs = int(round(float(np.sqrt(n))))
+    assert gs * gs == n, f"pos_embed token count {n} is not a square grid"
+    grid = pos.reshape(gs, gs, d).astype(jnp.float32)
+    out = jax.image.resize(grid, (h, w, d), method="bicubic")
+    return out.reshape(h * w, d).astype(pos.dtype)
+
+
 class KANBlock(nn.Module):
     dim: int
     num_heads: int
@@ -151,9 +171,18 @@ class KATVisionTransformer(nn.Module):
                     strides=(self.patch, self.patch), dtype=self.dtype,
                     name="patch_embed")(x)
         h, w = x.shape[1], x.shape[2]
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (h * w, self.embed_dim)
-        )
+        if self.is_initializing() or not self.has_variable("params", "pos_embed"):
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (h * w, self.embed_dim),
+            )
+        else:
+            # bypass self.param's shape check: restored checkpoints may
+            # carry a DIFFERENT token grid (e.g. a 512^2-trained embedding
+            # applied at 1024^2) — bicubic-resample on the fly
+            # (ref kantransformer.py:862-886)
+            pos = self.get_variable("params", "pos_embed")
+        pos = resample_pos_embed(pos, (h, w))
         x = x.reshape(b, h * w, self.embed_dim) + pos.astype(x.dtype)
         dprs = drop_path_rates(self.drop_path_rate, [self.depth])[0]
         taps = {self.depth // 4 - 1, self.depth // 2 - 1,
