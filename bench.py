@@ -6,17 +6,26 @@ Mirrors the reference's 30-iteration images/s harness
 (/root/reference/util/utils.py:356-367) but measures the full jitted train
 step (forward + backward + update) and cross-checks the wall-clock against
 the XLA cost model (`compiled.cost_analysis()['flops']`) and the chip's
-published bf16 peak. A wall-clock that implies > 90% MFU is physically
-implausible (the axon tunnel's timing is known-fake, see CLAUDE.md); in that
-case the reported value falls back to the cost-model roofline
-(peak_flops / flops_per_step), clearly labeled, instead of an impossible
-number.
+published bf16 peak.
+
+Timing method (amortized multi-step): K train steps are chained inside ONE
+jitted `lax.scan` over donated state, so one host dispatch buys K steps of
+device time and per-dispatch tunnel jitter amortizes to <1/K per step; the
+reported time is the MEDIAN of `reps` such runs. FLOPs/step come from a
+separate single-step compile (cost models under-count loop bodies). A
+wall-clock that still implies > 90% MFU is physically implausible (remote
+tunnels can fake timing); in that case the reported value falls back to the
+cost-model roofline (peak_flops / flops_per_step), clearly labeled.
 
 Configs benched:
-  1. flagship  — MiT-B2 + SegFormerHead, 512^2, batch 8, CE
+  1. flagship   — MiT-B2 + SegFormerHead, 512^2, batch 8, CE
      (reference default, /root/reference/train_gpu.py:38-44)
   2. north star — MiT-B2 + SegFormerHead, 1024^2, batch 2, OHEM CE
      (BASELINE.md config #5: Cityscapes 1024^2 + OhemCrossEntropy)
+  3. inference  — forward-only serving config
+  4. mask2former — MiT-B2 + Mask2FormerHead (MSDeformAttn pixel decoder +
+     9-layer masked decoder + Hungarian loss), 512^2, batch 4 — the perf
+     evidence for the patch-gather deform design (VERDICT r2 item 5)
 
 vs_baseline derivation (no published number exists — BASELINE.md records
 "published: {}"): the reference is EAGER PyTorch AMP on an A100 (312
@@ -25,15 +34,16 @@ TFLOP/s bf16 peak). Eager-mode vision training sustains ~10-20% MFU
 credit the generous end, 20%, so the baseline images/s is
     312e12 * 0.20 / flops_per_image
 on the SAME step FLOPs as ours (any FLOP advantage of our model math, e.g.
-the commuted SegFormer fuse, benefits the baseline equally). When our own wall-clock is unreliable and we
-report a 100%-MFU roofline, vs_baseline is instead the chip roofline ratio
-(v5e 197 / A100 312 = 0.63) so the comparison never mixes a roofline with an
-assumed-MFU number.
+the commuted SegFormer fuse, benefits the baseline equally). When our own
+wall-clock is unreliable and we report a 100%-MFU roofline, vs_baseline is
+instead the chip roofline ratio (v5e 197 / A100 312 = 0.63) so the
+comparison never mixes a roofline with an assumed-MFU number.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import time
 
 import jax
@@ -69,48 +79,80 @@ def _step_flops(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
-def bench_config(name: str, batch: int, img: int, loss_type: str, iters: int = 30):
-    """Compile + time one train-step config; return a dict of honest numbers."""
+def _build_state(backbone, head, batch, img, nc=19):
     from segmentation_factory_tpu.engine import (
         create_optimizer,
         create_train_state,
-        make_train_step,
     )
     from segmentation_factory_tpu.models import build_model
     from segmentation_factory_tpu.schedule import create_schedule
 
-    nc = 19
-    model = build_model("mit_b2", "segformerhead", num_classes=nc)
+    model = build_model(backbone, head, num_classes=nc)
     sched = create_schedule("cosine", 1e-3, total_steps=10_000, warmup_steps=100)
     tx = create_optimizer("adamw", sched, clip_grad=0.02, clip_mode="agc")
     state = create_train_state(model, jax.random.PRNGKey(0), (1, img, img, 3), tx)
-
     rng = np.random.default_rng(0)
     data = {
         "image": jnp.asarray(rng.normal(size=(batch, img, img, 3)), jnp.float32),
         "label": jnp.asarray(rng.integers(0, nc, (batch, img, img)), jnp.int32),
     }
+    return state, data, sched
+
+
+def bench_config(
+    name: str,
+    batch: int,
+    img: int,
+    loss_type: str,
+    k: int = 20,
+    reps: int = 5,
+    backbone: str = "mit_b2",
+    head: str = "segformerhead",
+):
+    """Compile + time one train-step config; return a dict of honest numbers."""
+    from segmentation_factory_tpu.engine import make_train_step
+
+    state, data, sched = _build_state(backbone, head, batch, img)
     step_fn = make_train_step(learning_rate_fn=sched, loss_type=loss_type)
     key = jax.random.PRNGKey(1)
 
-    compiled = (
-        jax.jit(step_fn, donate_argnums=0).lower(state, data, key).compile()
-    )
-    flops_per_step = _step_flops(compiled)
+    # FLOPs from a single-step compile: XLA's cost model reports loop
+    # bodies once, so the scanned program would under-count by ~k
+    single = jax.jit(step_fn).lower(state, data, key).compile()
+    flops_per_step = _step_flops(single)
+    del single
 
-    # warmup, then 30-iter wall-clock (ref utils.py:361)
-    for _ in range(3):
-        state, m = compiled(state, data, key)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = compiled(state, data, key)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    def k_steps(state, data, key):
+        def body(st, _):
+            # train_step folds the key with st.step — every iteration of
+            # the scan is a distinct full optimizer update
+            st, m = step_fn(st, data, key)
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, None, length=k)
+        return st, losses[-1]
+
+    compiled = (
+        jax.jit(k_steps, donate_argnums=0).lower(state, data, key).compile()
+    )
+
+    # warmup (fills caches, excludes compile), then median of `reps` runs.
+    # Synchronize by FETCHING the loss value: on tunneled backends
+    # block_until_ready can ack before the device finishes (r2's >100%-MFU
+    # "measurements"), but a device->host scalar read cannot return early.
+    state, last = compiled(state, data, key)
+    float(last)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, last = compiled(state, data, key)
+        float(last)
+        times.append(time.perf_counter() - t0)
+    dt_step = statistics.median(times) / k
 
     peak = _peak_tflops()
-    measured_ips = iters * batch / dt
-    measured_tflops = flops_per_step * iters / dt / 1e12
+    measured_ips = batch / dt_step
+    measured_tflops = flops_per_step / dt_step / 1e12
     mfu = measured_tflops / peak if peak else float("inf")
     flops_per_img = flops_per_step / batch
     roofline_ips = peak * 1e12 / flops_per_img if flops_per_img else 0.0
@@ -127,11 +169,17 @@ def bench_config(name: str, batch: int, img: int, loss_type: str, iters: int = 3
         "roofline_images_per_sec": round(roofline_ips, 2),
         "a100_baseline_images_per_sec": round(baseline_ips, 2),
         "timing_reliable": timing_ok,
+        "timing_method": f"median of {reps} runs x {k}-step jitted scan",
+        "run_times_sec": [round(t, 4) for t in times],
     }
 
 
-def bench_infer(name: str, batch: int, img: int, iters: int = 30):
-    """Forward-only (serving) throughput with the same honesty checks."""
+def bench_infer(name: str, batch: int, img: int, k: int = 20, reps: int = 5):
+    """Forward-only (serving) throughput with the same honesty checks.
+
+    The K forwards are chained through a data dependency inside one scan so
+    they execute sequentially in a single dispatch.
+    """
     from segmentation_factory_tpu.models import build_model
 
     nc = 19
@@ -146,21 +194,34 @@ def bench_infer(name: str, batch: int, img: int, iters: int = 30):
     def fwd(v, x):
         return model.apply(v, x, train=False)
 
-    compiled = jax.jit(fwd).lower(variables, x).compile()
-    flops_per_step = _step_flops(compiled)
+    single = jax.jit(fwd).lower(variables, x).compile()
+    flops_per_step = _step_flops(single)
+    del single
 
-    for _ in range(3):
+    def k_fwd(v, x):
+        def body(carry, _):
+            y = fwd(v, carry)
+            # fold a scalar of the output back into the carry: forces the
+            # scan iterations into a sequential chain (no dead-code elim)
+            carry = carry + 0.0 * jnp.mean(y).astype(carry.dtype)
+            return carry, jnp.mean(y)
+
+        carry, ys = jax.lax.scan(body, x, None, length=k)
+        return ys[-1]
+
+    compiled = jax.jit(k_fwd).lower(variables, x).compile()
+    float(compiled(variables, x))  # warmup + true device sync (see above)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
         y = compiled(variables, x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = compiled(variables, x)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
+        float(y)
+        times.append(time.perf_counter() - t0)
+    dt_step = statistics.median(times) / k
 
     peak = _peak_tflops()
-    measured_ips = iters * batch / dt
-    measured_tflops = flops_per_step * iters / dt / 1e12
+    measured_ips = batch / dt_step
+    measured_tflops = flops_per_step / dt_step / 1e12
     mfu = measured_tflops / peak if peak else float("inf")
     flops_per_img = flops_per_step / batch
     return {
@@ -172,14 +233,19 @@ def bench_infer(name: str, batch: int, img: int, iters: int = 30):
             peak * 1e12 / flops_per_img if flops_per_img else 0.0, 2
         ),
         "timing_reliable": 0.0 < mfu <= MAX_PLAUSIBLE_MFU,
+        "timing_method": f"median of {reps} runs x {k}-step chained scan",
+        "run_times_sec": [round(t, 4) for t in times],
     }
 
 
 def main():
     results = [
         bench_config("mit_b2_segformer_512_ce", batch=8, img=512, loss_type="ce"),
-        bench_config("mit_b2_segformer_1024_ohem", batch=2, img=1024, loss_type="ohem"),
+        bench_config("mit_b2_segformer_1024_ohem", batch=2, img=1024,
+                     loss_type="ohem"),
         bench_infer("infer_mit_b2_segformer_512_b16", batch=16, img=512),
+        bench_config("mit_b2_mask2former_512", batch=4, img=512,
+                     loss_type="ce", k=10, reps=3, head="mask2formerhead"),
     ]
     flagship = results[0]
 
