@@ -79,7 +79,7 @@ def _step_flops(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
-def _build_state(backbone, head, batch, img, nc=19):
+def _build_state(backbone, head, batch, img, nc=19, head_kwargs=None):
     from segmentation_factory_tpu.engine import (
         create_optimizer,
         create_train_state,
@@ -87,7 +87,8 @@ def _build_state(backbone, head, batch, img, nc=19):
     from segmentation_factory_tpu.models import build_model
     from segmentation_factory_tpu.schedule import create_schedule
 
-    model = build_model(backbone, head, num_classes=nc)
+    model = build_model(backbone, head, num_classes=nc,
+                        **({"head_kwargs": head_kwargs} if head_kwargs else {}))
     sched = create_schedule("cosine", 1e-3, total_steps=10_000, warmup_steps=100)
     tx = create_optimizer("adamw", sched, clip_grad=0.02, clip_mode="agc")
     state = create_train_state(model, jax.random.PRNGKey(0), (1, img, img, 3), tx)
@@ -104,15 +105,17 @@ def bench_config(
     batch: int,
     img: int,
     loss_type: str,
-    k: int = 20,
+    k: int = 40,
     reps: int = 5,
     backbone: str = "mit_b2",
     head: str = "segformerhead",
+    head_kwargs=None,
 ):
     """Compile + time one train-step config; return a dict of honest numbers."""
     from segmentation_factory_tpu.engine import make_train_step
 
-    state, data, sched = _build_state(backbone, head, batch, img)
+    state, data, sched = _build_state(backbone, head, batch, img,
+                                      head_kwargs=head_kwargs)
     step_fn = make_train_step(learning_rate_fn=sched, loss_type=loss_type)
     key = jax.random.PRNGKey(1)
 
@@ -239,15 +242,54 @@ def bench_infer(name: str, batch: int, img: int, k: int = 20, reps: int = 5):
 
 
 def main():
-    results = [
-        bench_config("mit_b2_segformer_512_ce", batch=8, img=512, loss_type="ce"),
-        bench_config("mit_b2_segformer_1024_ohem", batch=2, img=1024,
-                     loss_type="ohem"),
-        bench_infer("infer_mit_b2_segformer_512_b16", batch=16, img=512),
-        bench_config("mit_b2_mask2former_512", batch=4, img=512,
-                     loss_type="ce", k=10, reps=3, head="mask2formerhead"),
+    configs = [
+        ("mit_b2_segformer_512_ce",
+         lambda: bench_config("mit_b2_segformer_512_ce", batch=8, img=512,
+                              loss_type="ce")),
+        ("mit_b2_segformer_1024_ohem",
+         lambda: bench_config("mit_b2_segformer_1024_ohem", batch=2,
+                              img=1024, loss_type="ohem")),
+        ("infer_mit_b2_segformer_512_b16",
+         lambda: bench_infer("infer_mit_b2_segformer_512_b16", batch=16,
+                             img=512)),
+        # NB: mask_loss=False (CE through semantic_inference). The
+        # Hungarian-matched mask-loss train step runs fine on CPU meshes
+        # (tests + dryrun) but crashes this tunnel's TPU worker process at
+        # 512^2 (batch 4 AND 2, reproduced twice; the worker then stays
+        # down, wedging the whole backend) — documented in PERF.md.
+        ("mit_b2_mask2former_512",
+         lambda: bench_config("mit_b2_mask2former_512", batch=4, img=512,
+                              loss_type="ce", k=10, reps=3,
+                              head="mask2formerhead")),
     ]
+    results = []
+    for name, fn in configs:
+        # one config must not take down the whole bench (e.g. a TPU worker
+        # crash/OOM on the heaviest config): record failures and move on,
+        # and bound each config with a watchdog — a crashed worker turns
+        # subsequent device calls into infinite hangs, not exceptions
+        import signal
+
+        def _timeout(signum, frame):
+            raise TimeoutError("bench config watchdog expired")
+
+        try:
+            old = signal.signal(signal.SIGALRM, _timeout)
+            signal.alarm(1500)
+            try:
+                results.append(fn())
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
+        except Exception as e:  # noqa: BLE001
+            results.append({"name": name, "error": str(e)[:300]})
     flagship = results[0]
+    if "error" in flagship:
+        print(json.dumps({
+            "metric": "bench_failed", "value": 0.0, "unit": "n/a",
+            "vs_baseline": 0.0, "details": results,
+        }))
+        return
 
     if flagship["timing_reliable"]:
         value = flagship["measured_images_per_sec"]
