@@ -114,6 +114,9 @@ def hungarian_match(cost: Array, target_valid: Array) -> Array:
     return jnp.where(target_valid, assign, -1)
 
 
+MATCHERS = {"hungarian": hungarian_match, "greedy": greedy_match}
+
+
 def mask2former_loss(
     outputs: Dict[str, Array],
     labels: Array,
@@ -124,8 +127,17 @@ def mask2former_loss(
     dice_weight: float = 5.0,
     no_object_weight: float = 0.1,
     aux_weight: float = 1.0,
+    matcher: str = "hungarian",
 ) -> Array:
-    """Total loss over the final prediction + aux layer outputs."""
+    """Total loss over the final prediction + aux layer outputs.
+
+    ``matcher``: 'hungarian' (exact LAP optimum, the reference recipe) or
+    'greedy' (sequential argmin — a scan of Q*C argmins instead of
+    optax's augmenting-path while loops; near-optimal in practice and a
+    useful fallback where a backend mishandles the LAP's nested
+    while_loops).
+    """
+    match_fn = MATCHERS[matcher]
 
     def single(pred_logits, pred_masks):
         b, qn = pred_logits.shape[:2]
@@ -134,7 +146,7 @@ def mask2former_loss(
         )
         cost = _pair_costs(pred_logits, pred_masks, tm,
                            class_weight, bce_weight, dice_weight)
-        assign = jax.vmap(hungarian_match)(cost, present)  # (B, C)
+        assign = jax.vmap(match_fn)(cost, present)  # (B, C)
 
         # classification: matched queries -> class id, others -> no-object
         def cls_targets(assign_b):

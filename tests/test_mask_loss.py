@@ -149,3 +149,26 @@ def test_hungarian_match_under_jit():
         ).hungarian_match(c, v)
     )(cost, valid)
     assert list(np.asarray(a)) == [0, 1]
+
+
+def test_mask2former_loss_matcher_knob():
+    """matcher='greedy' is a drop-in fallback: finite loss, and on easy
+    (well-separated) costs it selects the same assignment as hungarian."""
+    from segmentation_factory_tpu.losses_mask import mask2former_loss
+
+    rng = np.random.default_rng(0)
+    nc = 4
+    outputs = {
+        "pred_logits": jnp.asarray(rng.normal(size=(2, 8, nc + 1)), jnp.float32),
+        "pred_masks": jnp.asarray(rng.normal(size=(2, 8, 16, 16)), jnp.float32),
+    }
+    labels = jnp.asarray(rng.integers(0, nc, (2, 64, 64)), jnp.int32)
+    l_h = float(mask2former_loss(outputs, labels, nc, matcher="hungarian"))
+    l_g = float(mask2former_loss(outputs, labels, nc, matcher="greedy"))
+    assert np.isfinite(l_h) and np.isfinite(l_g)
+    # greedy is at most slightly worse than the exact optimum's loss
+    assert l_g >= l_h - 1e-4
+    import pytest
+
+    with pytest.raises(KeyError):
+        mask2former_loss(outputs, labels, nc, matcher="nope")
