@@ -2,7 +2,12 @@
 
 Rebuild of /root/reference/util/utils.py:334-385 (get_model_size,
 throughput, test_model_latency, timer) with jax.profiler integration.
-``block_until_ready`` replaces torch.cuda.synchronize as the fence.
+
+Synchronization: `_sync` FETCHES a scalar from the result instead of
+relying on ``jax.block_until_ready`` — on tunneled/remote backends the
+latter can acknowledge before the device finishes (measured at 54x
+physical peak; PERF.md "Measurement discipline"), while a device->host
+value read cannot return early.
 """
 
 from __future__ import annotations
@@ -13,6 +18,15 @@ import time
 from typing import Callable, Optional
 
 import jax
+
+
+def _sync(out) -> None:
+    """True device fence: read one scalar element of (each leaf of) out."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            leaf.ravel()[:1].item()
+        else:
+            jax.block_until_ready(leaf)
 
 
 def get_model_size(params) -> dict:
@@ -29,11 +43,11 @@ def throughput(fn: Callable, *args, iters: int = 30, warmup: int = 3,
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = time.perf_counter() - t0
     return iters * batch_size / dt
 
@@ -43,10 +57,10 @@ def latency_ms(fn: Callable, *args, iters: int = 10, warmup: int = 3) -> float:
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
@@ -57,7 +71,7 @@ def timer(fn: Callable) -> Callable:
     def wrapped(*args, **kwargs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        _sync(out)
         print(f"[timer] {fn.__name__}: {time.perf_counter() - t0:.4f}s")
         return out
 
