@@ -241,48 +241,65 @@ def bench_infer(name: str, batch: int, img: int, k: int = 20, reps: int = 5):
     }
 
 
+# NB on mit_b2_mask2former_512: mask_loss=False (CE through
+# semantic_inference). The Hungarian-matched mask-loss train step runs fine
+# on CPU meshes (tests + dryrun) but crashes this tunnel's TPU worker
+# process at 512^2 (batch 4 AND 2, reproduced twice; the worker then stays
+# down, wedging the whole backend) — documented in PERF.md.
+CONFIGS = {
+    "mit_b2_segformer_512_ce": lambda: bench_config(
+        "mit_b2_segformer_512_ce", batch=8, img=512, loss_type="ce"),
+    "mit_b2_segformer_1024_ohem": lambda: bench_config(
+        "mit_b2_segformer_1024_ohem", batch=2, img=1024, loss_type="ohem"),
+    "infer_mit_b2_segformer_512_b16": lambda: bench_infer(
+        "infer_mit_b2_segformer_512_b16", batch=16, img=512),
+    "mit_b2_mask2former_512": lambda: bench_config(
+        "mit_b2_mask2former_512", batch=4, img=512, loss_type="ce",
+        k=10, reps=3, head="mask2formerhead"),
+}
+
+
+def run_one(name: str) -> dict:
+    try:
+        return CONFIGS[name]()
+    except Exception as e:  # noqa: BLE001
+        return {"name": name, "error": str(e)[:300]}
+
+
 def main():
-    configs = [
-        ("mit_b2_segformer_512_ce",
-         lambda: bench_config("mit_b2_segformer_512_ce", batch=8, img=512,
-                              loss_type="ce")),
-        ("mit_b2_segformer_1024_ohem",
-         lambda: bench_config("mit_b2_segformer_1024_ohem", batch=2,
-                              img=1024, loss_type="ohem")),
-        ("infer_mit_b2_segformer_512_b16",
-         lambda: bench_infer("infer_mit_b2_segformer_512_b16", batch=16,
-                             img=512)),
-        # NB: mask_loss=False (CE through semantic_inference). The
-        # Hungarian-matched mask-loss train step runs fine on CPU meshes
-        # (tests + dryrun) but crashes this tunnel's TPU worker process at
-        # 512^2 (batch 4 AND 2, reproduced twice; the worker then stays
-        # down, wedging the whole backend) — documented in PERF.md.
-        ("mit_b2_mask2former_512",
-         lambda: bench_config("mit_b2_mask2former_512", batch=4, img=512,
-                              loss_type="ce", k=10, reps=3,
-                              head="mask2formerhead")),
-    ]
+    # Each config runs in its OWN subprocess with a hard timeout: a crashed
+    # TPU worker turns device calls into uninterruptible hangs (a blocked C
+    # call defeats in-process watchdogs), and one wedged config must not
+    # cost the other configs — or the JSON line — their results.
+    import subprocess
+    import sys
+
     results = []
-    for name, fn in configs:
-        # one config must not take down the whole bench (e.g. a TPU worker
-        # crash/OOM on the heaviest config): record failures and move on,
-        # and bound each config with a watchdog — a crashed worker turns
-        # subsequent device calls into infinite hangs, not exceptions
-        import signal
-
-        def _timeout(signum, frame):
-            raise TimeoutError("bench config watchdog expired")
-
+    for name in CONFIGS:
         try:
-            old = signal.signal(signal.SIGALRM, _timeout)
-            signal.alarm(1500)
-            try:
-                results.append(fn())
-            finally:
-                signal.alarm(0)
-                signal.signal(signal.SIGALRM, old)
-        except Exception as e:  # noqa: BLE001
-            results.append({"name": name, "error": str(e)[:300]})
+            proc = subprocess.run(
+                [sys.executable, __file__, "--config", name],
+                capture_output=True, text=True, timeout=2400,
+            )
+            line = next(
+                (ln for ln in reversed(proc.stdout.splitlines())
+                 if ln.startswith("{")),
+                None,
+            )
+            if line is None:
+                results.append({
+                    "name": name,
+                    "error": f"no result (exit {proc.returncode}): "
+                             + proc.stderr[-200:],
+                })
+            else:
+                results.append(json.loads(line))
+        except subprocess.TimeoutExpired:
+            results.append({
+                "name": name,
+                "error": "watchdog timeout (2400s) — backend hung or "
+                         "compile stalled; killed the config subprocess",
+            })
     flagship = results[0]
     if "error" in flagship:
         print(json.dumps({
@@ -322,4 +339,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--config":
+        print(json.dumps(run_one(sys.argv[2])))
+    else:
+        main()
