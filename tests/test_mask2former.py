@@ -129,3 +129,44 @@ def test_wired_mask2former_head_end_to_end():
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 64, 64, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mask_loss_train_step_on_sharded_mesh():
+    """The Hungarian mask-loss TRAIN step executes correctly on a multi-
+    device CPU mesh (batch over 'data') — the evidence behind PERF.md's
+    'CPU meshes fine' note on the TPU-worker-crash known issue."""
+    from segmentation_factory_tpu.engine import (
+        create_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+    from segmentation_factory_tpu.models import build_model
+    from segmentation_factory_tpu.parallel import make_mesh, shard_batch
+    from segmentation_factory_tpu.schedule import create_schedule
+
+    model = build_model(
+        "mit_b0", "mask2formerhead", num_classes=5, dtype=jnp.float32,
+        head_kwargs={"mask_loss": True, "num_queries": 8,
+                     "pixel_layers": 1, "decoder_layers": 3},
+    )
+    sched = create_schedule("cosine", 1e-3, total_steps=10)
+    tx = create_optimizer("adamw", sched, clip_grad=None)
+    state = create_train_state(model, jax.random.PRNGKey(0), (1, 32, 32, 3), tx)
+
+    mesh = make_mesh((8, 1))
+    rng = np.random.default_rng(0)
+    batch = shard_batch(
+        {
+            "image": jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32),
+            "label": jnp.asarray(rng.integers(0, 5, (8, 32, 32)), jnp.int32),
+        },
+        mesh,
+    )
+    state = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    step = jax.jit(make_train_step(loss_type="ce"))
+    with mesh:
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
