@@ -49,12 +49,20 @@ def _per_pixel_ce(
     c = logits2d.shape[-1]
     valid = labels1d != ignore_index
     safe = jnp.where(valid, labels1d, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(logits2d, axis=-1)
-    picked = jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    # Dense formulation: loss = logsumexp - logits[y], with logits[y] read via
+    # a one-hot contraction rather than take_along_axis. Value-identical, but
+    # the backward is dense elementwise (softmax - onehot) instead of a
+    # row-scatter over N*C — scatters serialize badly on TPU (N here is every
+    # pixel in the batch, ~2M at 512^2 b8).
+    lse = jax.scipy.special.logsumexp(logits2d, axis=-1)
+    oh = jax.nn.one_hot(safe, c, dtype=logits2d.dtype)
+    picked_logit = jnp.sum(logits2d * oh, axis=-1)
     if label_smoothing > 0.0:
-        smooth = jnp.mean(logp, axis=-1)
-        picked = (1.0 - label_smoothing) * picked + label_smoothing * smooth
-    loss = -picked
+        # -( (1-s)*logp[y] + s*mean(logp) ) with mean(logp) = mean(z) - lse
+        loss = lse - (1.0 - label_smoothing) * picked_logit \
+            - label_smoothing * jnp.mean(logits2d, axis=-1)
+    else:
+        loss = lse - picked_logit
     if class_weights is not None:
         w = jnp.asarray(class_weights, jnp.float32)[safe]
     else:
@@ -87,7 +95,11 @@ def ohem_cross_entropy(
 
     Keeps pixels whose loss exceeds ``-log(thresh)``, but at least
     ``n_min = valid_pixels * min_kept_ratio`` hardest pixels. The reference's
-    ``topk`` floor becomes: sort losses descending, keep rank < n_min.
+    ``topk`` floor becomes a k-th-value threshold: sort losses descending and
+    keep ``loss >= sorted[n_min - 1]`` — the same set as an explicit rank
+    array (up to float ties, measure-zero for CE values) without the
+    2M-element ``argsort`` + scatter the rank formulation needs (scatters
+    with per-pixel indices serialize on TPU).
     """
     l2, l1 = _flatten(logits, labels)
     loss, valid, w = _per_pixel_ce(l2, l1, ignore_index)
@@ -95,10 +107,14 @@ def ohem_cross_entropy(
     masked_loss = jnp.where(valid, loss, -jnp.inf)
     n_valid = jnp.sum(valid)
     n_min = (n_valid.astype(jnp.float32) * min_kept_ratio).astype(jnp.int32)
-    # rank[i] = position of pixel i in descending-loss order
-    order = jnp.argsort(-masked_loss)
-    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    keep = valid & ((loss > loss_thresh) | (rank < n_min))
+    sorted_desc = -jnp.sort(-masked_loss)
+    kth = jax.lax.dynamic_index_in_dim(
+        sorted_desc,
+        jnp.clip(n_min - 1, 0, sorted_desc.shape[0] - 1),
+        keepdims=False,
+    )
+    keep_topk = (masked_loss >= kth) & (n_min > 0)
+    keep = valid & ((loss > loss_thresh) | keep_topk)
     kw = keep.astype(jnp.float32) * w
     return jnp.sum(loss * kw) / jnp.maximum(jnp.sum(kw), 1.0)
 
