@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from segmentation_factory_tpu.models.layers import DropPath, drop_path_rates
@@ -83,34 +84,85 @@ class SRAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Raw Dense kernel+bias with nn.Dense's param tree (kernel, bias)."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_ch, self.out_ch)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_ch,))
+        return k, b
+
+
+class _DWConvParams(nn.Module):
+    """Raw depthwise-conv kernel+bias with nn.Conv's param tree."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.ch)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.ch,))
+        return k, b
+
+
 class MixFFN(nn.Module):
-    """Mix-FFN: Dense -> 3x3 depthwise conv -> GELU -> Dense (ref mit.py:74-99)."""
+    """Mix-FFN: Dense -> 3x3 depthwise conv -> GELU -> Dense (ref mit.py:74-99).
+
+    On single-chip TPU the whole FFN runs as one fused Pallas kernel
+    (ops/pallas_ffn.py) that keeps the 4C-wide hidden activation in VMEM;
+    elsewhere (CPU/GPU, TP meshes, odd shapes) the identical math runs
+    through XLA. Params are declared raw so both paths share one tree
+    (fc1/dwconv/fc2 with kernel+bias, exactly nn.Dense/nn.Conv layout)."""
 
     hidden: int
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
-        from segmentation_factory_tpu.parallel.mesh import shard_channels
+        from segmentation_factory_tpu.ops.pallas_ffn import (
+            mixffn_apply,
+            use_pallas_default,
+        )
+        from segmentation_factory_tpu.parallel.mesh import (
+            shard_channels,
+            tp_mesh_active,
+        )
 
         c = x.shape[-1]
+        w1, b1 = _DenseParams(c, self.hidden, name="fc1")()
+        dwk, dwb = _DWConvParams(self.hidden, name="dwconv")()
+        w2, b2 = _DenseParams(self.hidden, c, name="fc2")()
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+
+        if use_pallas_default() and not tp_mesh_active():
+            return mixffn_apply(
+                x, w1.astype(dt), b1.astype(dt), dwk.astype(dt),
+                dwb.astype(dt), w2.astype(dt), b2.astype(dt),
+            )
+
         # megatron TP pair: fc1 column-parallel, fc2 row-parallel (see
         # parallel.mesh.param_shardings); the constraint keeps the wide
         # hidden activation sharded over 'model' between them, so the
         # dwconv+gelu run on local shards and XLA psums after fc2
-        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        y = x @ w1.astype(dt) + b1.astype(dt)
         y = shard_channels(y)
-        y = nn.Conv(
-            self.hidden,
-            (3, 3),
-            padding=[(1, 1), (1, 1)],
+        y = jax.lax.conv_general_dilated(
+            y, dwk.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.hidden,
-            dtype=self.dtype,
-            name="dwconv",
-        )(y)
+        ) + dwb.astype(dt)
         y = nn.gelu(y, approximate=False)  # exact erf: matches torch nn.GELU
         y = shard_channels(y)
-        return nn.Dense(c, dtype=self.dtype, name="fc2")(y)
+        return y @ w2.astype(dt) + b2.astype(dt)
 
 
 class MiTBlock(nn.Module):

@@ -146,8 +146,17 @@ def resize(
     b, _, _, c = x.shape
     if (x.shape[1], x.shape[2]) == tuple(size):
         return x
+    # fp32 interpolation for fp32/fp16 inputs; bf16 inputs interpolate in
+    # bf16 — the 2-tap bilinear weights (k/2^n grids: 0.25/0.75) are exact
+    # in bf16 and the fp32 upcast would double the HBM traffic of the
+    # (B, H', W', C) intermediates, which dominate the decode-head cost.
+    compute_dtype = (
+        x.dtype
+        if x.dtype == jnp.bfloat16
+        else jnp.float32 if method in ("bilinear", "linear") else x.dtype
+    )
     out = jax.image.resize(
-        x.astype(jnp.float32) if method in ("bilinear", "linear") else x,
+        x.astype(compute_dtype),
         (b, size[0], size[1], c),
         method=method,
         antialias=antialias,

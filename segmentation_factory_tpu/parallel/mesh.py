@@ -104,6 +104,19 @@ def shard_channels(x, axis: str = "model"):
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def tp_mesh_active(axis: str = "model") -> bool:
+    """True when running under a mesh context whose tensor-parallel ``axis``
+    has size > 1 (used to route fused single-chip kernels to their sharded
+    XLA fallback — a Pallas custom call cannot be auto-partitioned)."""
+    try:
+        from jax._src import mesh as _mesh_lib
+
+        m = _mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # pragma: no cover - private API moved
+        return False
+    return (not m.empty) and axis in m.axis_names and m.shape[axis] > 1
+
+
 def sync_scalar(x, mode: str = "mean"):
     """Cross-host scalar reduction outside jit (replaces the reference's
     dist AverageMeter/sync_tensor, models/layers/dist.py:24-96). No-op on a
