@@ -35,30 +35,61 @@ class _Conv1x1Kernel(nn.Module):
         )
 
 
-class _LevelFuse(nn.Module):
-    """The fuse 1x1 conv computed per level BEFORE upsampling.
+class _DenseParams(nn.Module):
+    """Raw kernel+bias with nn.Dense's exact param tree (kernel, bias) —
+    declared without applying, so the fold below can use them algebraically."""
 
-    A 1x1 conv commutes with bilinear resize (both linear; one mixes
-    channels, the other pixels), so
-    ``conv1x1(concat_i(resize(y_i)))  ==  sum_i resize(y_i @ W_i)``.
-    Applying each kernel slice at the level's native resolution does the
-    fuse matmul on 1 + 1/4 + 1/16 + 1/64 of the stride-4 pixels instead of
-    4x of them (~3x fewer MXU FLOPs) and never materializes the
-    (B, H/4, W/4, 4E) concat in HBM. Parameter tree is identical to the
-    concat formulation (Conv_0/kernel (1,1,4E,E) + BatchNorm_0)."""
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_ch, self.out_ch)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_ch,))
+        return k, b
+
+
+class _LevelFuse(nn.Module):
+    """Per-level projection + fuse 1x1 conv, folded and computed BEFORE
+    upsampling.
+
+    Two linear maps back to back commute and compose:
+
+    1. The 1x1 fuse conv commutes with bilinear resize (both linear; one
+       mixes channels, the other pixels), so
+       ``conv1x1(concat_i(resize(y_i)))  ==  sum_i resize(y_i @ W_i)``.
+    2. Each level's projection (``linear_ci``: C_i -> E) then composes with
+       its fuse slice (E -> E) into ONE effective (C_i -> E) matmul:
+       ``(f K + b) W  ==  f (K W) + b W`` — the (K W) product costs a
+       negligible (C_i, E) @ (E, E) per step.
+
+    Together the head's big matmuls shrink from
+    ``sum_i N_i*C_i*E + (sum_i N_i)*E*E + 4N_1*4E*E`` to
+    ``sum_i N_i*C_i*E`` (~25 GF instead of ~232 GF forward for B2 at 512²),
+    and neither the (B, H/4, W/4, 4E) concat nor the per-level E-wide
+    pre-fuse maps ever reach HBM. Parameter tree is identical to the
+    unfused formulation (linear_ci Dense + Conv_0/kernel (1,1,4E,E) +
+    BatchNorm_0), so converters and checkpoints are unaffected."""
 
     features: int
     norm: str = "bn"
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, levels, target, train: bool = False):
+    def __call__(self, levels, projs, target, train: bool = False):
+        # levels/projs in concat order (top level first); projs[i] = (K, b)
         e = self.features
         kernel = _Conv1x1Kernel(len(levels) * e, e, name="Conv_0")()
-        w = kernel[0, 0].astype(self.dtype or kernel.dtype)  # (L*E, E)
+        w = kernel[0, 0]  # (L*E, E)
+        dt = self.dtype or w.dtype
         acc = None
-        for i, y in enumerate(levels):  # in concat order (top level first)
-            z = y @ w[i * e : (i + 1) * e]
+        for i, (y, (pk, pb)) in enumerate(zip(levels, projs)):
+            wi = w[i * e : (i + 1) * e].astype(jnp.float32)
+            m = (pk.astype(jnp.float32) @ wi).astype(dt)  # (C_i, E)
+            c = (pb.astype(jnp.float32) @ wi).astype(dt)  # (E,)
+            z = y.astype(dt) @ m + c
             z = resize_like(z, target)
             acc = z if acc is None else acc + z
         acc = build_norm(self.norm, dtype=self.dtype)(acc, train=train)
@@ -76,15 +107,16 @@ class SegFormerHead(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool = False):
         assert len(feats) == len(self.channels)
-        outs = []
-        for i, f in enumerate(feats):
-            y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"linear_c{i + 1}")(f)
-            outs.append(y)
-        # fuse at native per-level resolution (see _LevelFuse), reversed
-        # order matches the reference's concat (top level first)
+        projs = [
+            _DenseParams(c, self.embed_dim, name=f"linear_c{i + 1}")()
+            for i, c in enumerate(self.channels)
+        ]
+        # fold projection+fuse and apply at native per-level resolution (see
+        # _LevelFuse); reversed order matches the reference's concat (top
+        # level first)
         x = _LevelFuse(
             self.embed_dim, norm=self.norm, dtype=self.dtype, name="linear_fuse"
-        )(outs[::-1], feats[0], train=train)
+        )(feats[::-1], projs[::-1], feats[0], train=train)
         # ref uses nn.Dropout2d: whole-CHANNEL dropout, not per-pixel
         x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
             x, deterministic=not train

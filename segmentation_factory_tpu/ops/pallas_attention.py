@@ -36,7 +36,11 @@ Array = jax.Array
 # for the backward so the estimate stays conservative.
 _FWD_COPIES = 2
 _BWD_COPIES = 5
-_VMEM_BUDGET = 14 * 1024 * 1024  # bytes; scoped-vmem limit is 16 MiB
+# v5e VMEM is 128 MiB; the kernels request vmem_limit_bytes=100 MiB and the
+# live-buffer budget leaves the rest to Mosaic's block double-buffering.
+# Bigger q-tiles = fewer grid invocations (the M<=1024 logits always fit).
+_VMEM_BUDGET = 14 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _fit_tile(tile: int, m: int, copies: int) -> int:
@@ -95,6 +99,10 @@ def _forward(q, k, v, scale, tile_q):
             flops=2 * bh * np_ * m * d * 2,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=bh * np_ * m,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q, k, v)
     return out[:, :n] if pad else out
@@ -184,7 +192,10 @@ def _backward(q, k, v, do, scale, tile_q):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, np_, d), jnp.float32),
+            # dq in the input dtype (written once per tile; the f32->bf16
+            # cast outside cost an extra full HBM pass); dk/dv stay f32
+            # because they accumulate across the sequential grid.
+            jax.ShapeDtypeStruct((bh, np_, d), q.dtype),
             jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
         ),
@@ -193,6 +204,12 @@ def _backward(q, k, v, do, scale, tile_q):
             bytes_accessed=(2 * q.size + 2 * k.size + 2 * v.size)
             * q.dtype.itemsize,
             transcendentals=bh * np_ * m,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # dk/dv accumulate across q-tiles (init at i==0) within each bh:
+            # the tile dimension must stay sequential; bh blocks are disjoint
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(q, k, v, do)
     if pad:

