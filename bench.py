@@ -293,7 +293,16 @@ def main():
                              + proc.stderr[-200:],
                 })
             else:
-                results.append(json.loads(line))
+                try:
+                    results.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # child died mid-print (OOM-kill, wedged worker): a
+                    # truncated line must not cost the other configs
+                    results.append({
+                        "name": name,
+                        "error": f"malformed result line (exit "
+                                 f"{proc.returncode}): {line[:200]}",
+                    })
         except subprocess.TimeoutExpired:
             results.append({
                 "name": name,

@@ -344,8 +344,11 @@ class Trainer:
                 lr = float(metrics.get("lr", 0.0))
                 if self._plateau is not None:
                     # the jitted step baked the trace-time lr; the live one
-                    # sits in the injected hyperparam — log that instead
-                    lr = self._plateau.current_lr(int(self.state.step))
+                    # sits in the injected hyperparam — log that instead.
+                    # state.step counts micro-steps; warmup is indexed in
+                    # optimizer updates, so divide by the accumulation k
+                    k = max(cfg.optim.grad_accum, 1)
+                    lr = self._plateau.current_lr(int(self.state.step) // k)
                 skipped += int(metrics.get("skipped_nonfinite", 0))
                 logger.update(loss=loss, lr=lr)
                 if self.writer is not None:

@@ -109,7 +109,6 @@ def _build_core(opt, lr, weight_decay, momentum, wd_mask, adam_kw):
             optax.add_decayed_weights(weight_decay, mask=wd_mask), inner
         )
 
-    b1 = adam_kw.get("b1", 0.9)
     if opt == "adamw":
         return optax.adamw(lr, weight_decay=weight_decay, mask=wd_mask,
                            **adam_kw)
@@ -141,10 +140,12 @@ def _build_core(opt, lr, weight_decay, momentum, wd_mask, adam_kw):
         return l2(optax.adamax(lr, **kw))
     if opt == "adabelief":
         return l2(optax.adabelief(lr, **adam_kw))
-    if opt in ("sgd", "momentum"):
+    if opt in ("sgd", "nesterov"):
         return l2(optax.sgd(lr, momentum=momentum, nesterov=True))
-    if opt == "nesterov":
-        return l2(optax.sgd(lr, momentum=momentum, nesterov=True))
+    if opt == "momentum":
+        # timm maps 'momentum' to plain heavy-ball SGD (nesterov=False);
+        # only 'sgd'/'nesterov' get the Nesterov lookahead
+        return l2(optax.sgd(lr, momentum=momentum, nesterov=False))
     if opt == "adadelta":
         eps = adam_kw.get("eps", 1e-6)
         return l2(optax.adadelta(lr, eps=eps))
@@ -161,7 +162,10 @@ def _build_core(opt, lr, weight_decay, momentum, wd_mask, adam_kw):
         return l2(optax.rmsprop(lr, decay=0.9, eps=eps, eps_in_sqrt=True,
                                 initial_scale=1.0, momentum=momentum or None))
     if opt == "novograd":
-        return optax.novograd(lr, b1=b1, b2=adam_kw.get("b2", 0.25),
+        # timm NvNovoGrad defaults betas=(0.95, 0.98) — NOT optax's
+        # (0.9, 0.25); honor explicit --opt-betas, else match timm
+        return optax.novograd(lr, b1=adam_kw.get("b1", 0.95),
+                              b2=adam_kw.get("b2", 0.98),
                               weight_decay=weight_decay)
     if opt == "lars":
         return optax.lars(lr, weight_decay=weight_decay, momentum=momentum)

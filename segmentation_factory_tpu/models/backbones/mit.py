@@ -20,7 +20,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from segmentation_factory_tpu.models.layers import DropPath, drop_path_rates
+from segmentation_factory_tpu.models.layers import (
+    DenseParams as _DenseParams,
+    DropPath,
+    DWConvParams as _DWConvParams,
+    drop_path_rates,
+)
 from segmentation_factory_tpu.registry import register_backbone
 
 MIT_SETTINGS = {
@@ -82,35 +87,6 @@ class SRAttention(nn.Module):
 
         out = sra_attention(q, k, v, scale).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
-
-
-class _DenseParams(nn.Module):
-    """Raw Dense kernel+bias with nn.Dense's param tree (kernel, bias)."""
-
-    in_ch: int
-    out_ch: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.in_ch, self.out_ch)
-        )
-        b = self.param("bias", nn.initializers.zeros_init(), (self.out_ch,))
-        return k, b
-
-
-class _DWConvParams(nn.Module):
-    """Raw depthwise-conv kernel+bias with nn.Conv's param tree."""
-
-    ch: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.ch)
-        )
-        b = self.param("bias", nn.initializers.zeros_init(), (self.ch,))
-        return k, b
 
 
 class MixFFN(nn.Module):

@@ -14,7 +14,10 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from segmentation_factory_tpu.models.layers import resize_like
+from segmentation_factory_tpu.models.layers import (
+    DenseParams as _DenseParams,
+    resize_like,
+)
 from segmentation_factory_tpu.models.layers.norm import build_norm
 from segmentation_factory_tpu.registry import register_head
 
@@ -33,22 +36,6 @@ class _Conv1x1Kernel(nn.Module):
             nn.initializers.lecun_normal(),
             (1, 1, self.in_ch, self.out_ch),
         )
-
-
-class _DenseParams(nn.Module):
-    """Raw kernel+bias with nn.Dense's exact param tree (kernel, bias) —
-    declared without applying, so the fold below can use them algebraically."""
-
-    in_ch: int
-    out_ch: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.in_ch, self.out_ch)
-        )
-        b = self.param("bias", nn.initializers.zeros_init(), (self.out_ch,))
-        return k, b
 
 
 class _LevelFuse(nn.Module):
@@ -76,6 +63,7 @@ class _LevelFuse(nn.Module):
     features: int
     norm: str = "bn"
     dtype: Any = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, levels, projs, target, train: bool = False):
@@ -84,14 +72,27 @@ class _LevelFuse(nn.Module):
         kernel = _Conv1x1Kernel(len(levels) * e, e, name="Conv_0")()
         w = kernel[0, 0]  # (L*E, E)
         dt = self.dtype or w.dtype
-        acc = None
-        for i, (y, (pk, pb)) in enumerate(zip(levels, projs)):
-            wi = w[i * e : (i + 1) * e].astype(jnp.float32)
-            m = (pk.astype(jnp.float32) @ wi).astype(dt)  # (C_i, E)
-            c = (pb.astype(jnp.float32) @ wi).astype(dt)  # (E,)
-            z = y.astype(dt) @ m + c
-            z = resize_like(z, target)
-            acc = z if acc is None else acc + z
+        if not self.fused:
+            # reference formulation (ref segformer.py:47-55): project each
+            # level to E, upsample, concat 4E-wide, then the fuse matmul at
+            # stride-4 resolution. Numerically equal to the fold (both are
+            # compositions of the same linear maps); kept as the FLOP-count
+            # anchor for bench.py's baseline derivation and as the fold's
+            # correctness oracle (tests/test_heads.py).
+            ups = []
+            for y, (pk, pb) in zip(levels, projs):
+                z = y.astype(dt) @ pk.astype(dt) + pb.astype(dt)
+                ups.append(resize_like(z, target))
+            acc = jnp.concatenate(ups, axis=-1) @ w.astype(dt)
+        else:
+            acc = None
+            for i, (y, (pk, pb)) in enumerate(zip(levels, projs)):
+                wi = w[i * e : (i + 1) * e].astype(jnp.float32)
+                m = (pk.astype(jnp.float32) @ wi).astype(dt)  # (C_i, E)
+                c = (pb.astype(jnp.float32) @ wi).astype(dt)  # (E,)
+                z = y.astype(dt) @ m + c
+                z = resize_like(z, target)
+                acc = z if acc is None else acc + z
         acc = build_norm(self.norm, dtype=self.dtype)(acc, train=train)
         return nn.relu(acc)
 
@@ -103,6 +104,9 @@ class SegFormerHead(nn.Module):
     dropout: float = 0.1
     norm: str = "bn"
     dtype: Any = jnp.bfloat16
+    # fused=False runs the reference dataflow (project -> upsample -> concat
+    # -> fuse conv) with the SAME param tree; see _LevelFuse
+    fused: bool = True
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -115,7 +119,8 @@ class SegFormerHead(nn.Module):
         # _LevelFuse); reversed order matches the reference's concat (top
         # level first)
         x = _LevelFuse(
-            self.embed_dim, norm=self.norm, dtype=self.dtype, name="linear_fuse"
+            self.embed_dim, norm=self.norm, dtype=self.dtype,
+            fused=self.fused, name="linear_fuse"
         )(feats[::-1], projs[::-1], feats[0], train=train)
         # ref uses nn.Dropout2d: whole-CHANNEL dropout, not per-pixel
         x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(

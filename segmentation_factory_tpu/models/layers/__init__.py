@@ -1,6 +1,8 @@
 from segmentation_factory_tpu.models.layers.act import ACTIVATIONS, build_act  # noqa: F401
 from segmentation_factory_tpu.models.layers.common import (  # noqa: F401
     ConvModule,
+    DenseParams,
+    DWConvParams,
     DropPath,
     Mlp,
     SqueezeExcite,

@@ -110,6 +110,38 @@ class SqueezeExcite(nn.Module):
         return x * s
 
 
+class DenseParams(nn.Module):
+    """Raw Dense kernel+bias with nn.Dense's exact param tree (kernel, bias),
+    declared without applying — for call sites that fold or fuse the matmul
+    algebraically (SegFormer head fuse, Pallas MixFFN) while staying
+    checkpoint/converter-compatible with a plain nn.Dense."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_ch, self.out_ch)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_ch,))
+        return k, b
+
+
+class DWConvParams(nn.Module):
+    """Raw 3x3 depthwise-conv kernel+bias with nn.Conv's exact param tree."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 1, self.ch)
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.ch,))
+        return k, b
+
+
 class Mlp(nn.Module):
     """Transformer FFN: Dense -> act -> Dense, optional dropout."""
 

@@ -58,13 +58,6 @@ def _gelu_f32(x):
     return 0.5 * x * (1.0 + _erf_f32(x / _SQRT2))
 
 
-def _dgelu_f32(x):
-    """d/dx of exact-erf GELU."""
-    cdf = 0.5 * (1.0 + _erf_f32(x / _SQRT2))
-    pdf = jnp.exp(-0.5 * x * x) * (1.0 / 2.5066282746310002)  # 1/sqrt(2pi)
-    return cdf + x * pdf
-
-
 def _dw3x3(h_ext, w_taps):
     """Depthwise 3x3 (zero-padded W, valid over the H halo).
 

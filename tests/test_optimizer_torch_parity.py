@@ -24,6 +24,9 @@ LR = 0.05
 def _make_torch(name, params_t):
     if name == "sgd":
         return torch.optim.SGD(params_t, lr=LR, momentum=0.9, nesterov=True)
+    if name == "momentum":
+        # timm 'momentum' = plain heavy-ball SGD, NO nesterov
+        return torch.optim.SGD(params_t, lr=LR, momentum=0.9, nesterov=False)
     if name == "adam":
         return torch.optim.Adam(params_t, lr=LR, eps=1e-8)
     if name == "adamw":
@@ -47,8 +50,8 @@ def _make_torch(name, params_t):
 
 
 @pytest.mark.parametrize(
-    "name", ["sgd", "adam", "adamw", "adamax", "radam", "adadelta",
-             "rmsprop", "adagrad"]
+    "name", ["sgd", "momentum", "adam", "adamw", "adamax", "radam",
+             "adadelta", "rmsprop", "adagrad"]
 )
 def test_update_rule_matches_torch(name):
     rng = np.random.default_rng(0)
