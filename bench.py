@@ -32,12 +32,15 @@ vs_baseline derivation (no published number exists — BASELINE.md records
 TFLOP/s bf16 peak). Eager-mode vision training sustains ~10-20% MFU
 (per-op kernel launches, unfused elementwise, fp32 master weights); we
 credit the generous end, 20%, so the baseline images/s is
-    312e12 * 0.20 / flops_per_image
-on the SAME step FLOPs as ours (any FLOP advantage of our model math, e.g.
-the commuted SegFormer fuse, benefits the baseline equally). When our own
-wall-clock is unreliable and we report a 100%-MFU roofline, vs_baseline is
-instead the chip roofline ratio (v5e 197 / A100 312 = 0.63) so the
-comparison never mixes a roofline with an assumed-MFU number.
+    312e12 * 0.20 / ref_formulation_flops_per_image
+where ref_formulation FLOPs come from compiling the REFERENCE's dataflow
+(the unfolded SegFormer head, same params/values — tests/test_heads.py
+proves equality): the torch reference executes that formulation, so it is
+charged those FLOPs; our algebraic folds are OUR implementation win, not
+the baseline's. When our own wall-clock is unreliable and we report a
+100%-MFU roofline, vs_baseline is instead the roofline ratio with each
+side on its own formulation's FLOPs, so the comparison never mixes a
+roofline with an assumed-MFU number.
 """
 
 from __future__ import annotations
@@ -125,6 +128,24 @@ def bench_config(
     flops_per_step = _step_flops(single)
     del single
 
+    # The A100 baseline must be charged the REFERENCE's dataflow FLOPs,
+    # not ours: the torch reference executes the unfolded head (project ->
+    # upsample -> concat -> fuse conv, segformer.py:47-55), so crediting it
+    # with our algebraically-folded FLOP count would overstate its img/s
+    # (and perversely raise the bar every time we optimize our own math).
+    # The unfused branch is the same network with the same param tree
+    # (tests/test_heads.py proves value equality), so its compiled FLOP
+    # count is the honest reference-formulation anchor.
+    ref_flops_per_step = flops_per_step
+    if head == "segformerhead":
+        rkw = dict(head_kwargs or {})
+        rkw["fused"] = False
+        rstate, rdata, _ = _build_state(backbone, head, batch, img,
+                                        head_kwargs=rkw)
+        rsingle = jax.jit(step_fn).lower(rstate, rdata, key).compile()
+        ref_flops_per_step = _step_flops(rsingle)
+        del rsingle, rstate, rdata
+
     def k_steps(state, data, key):
         def body(st, _):
             # train_step folds the key with st.step — every iteration of
@@ -158,13 +179,17 @@ def bench_config(
     measured_tflops = flops_per_step / dt_step / 1e12
     mfu = measured_tflops / peak if peak else float("inf")
     flops_per_img = flops_per_step / batch
+    ref_flops_per_img = ref_flops_per_step / batch
     roofline_ips = peak * 1e12 / flops_per_img if flops_per_img else 0.0
-    baseline_ips = A100_PEAK_TFLOPS * 1e12 * A100_ASSUMED_MFU / flops_per_img
+    baseline_ips = (
+        A100_PEAK_TFLOPS * 1e12 * A100_ASSUMED_MFU / ref_flops_per_img
+    )
 
     timing_ok = 0.0 < mfu <= MAX_PLAUSIBLE_MFU
     return {
         "name": name,
         "flops_per_step": flops_per_step,
+        "ref_formulation_flops_per_step": ref_flops_per_step,
         "measured_images_per_sec": round(measured_ips, 2),
         "measured_tflops_per_sec": round(measured_tflops, 1),
         "mfu": round(mfu, 4),
@@ -325,11 +350,18 @@ def main():
     else:
         # wall-clock implies impossible MFU (tunnel timing) — report the
         # cost-model roofline, compared against the A100 roofline so both
-        # sides of the ratio are 100%-MFU numbers on the same step FLOPs.
+        # sides of the ratio are 100%-MFU numbers, each on its own
+        # formulation's step FLOPs (ours folded, theirs the reference
+        # dataflow).
         value = flagship["roofline_images_per_sec"]
         metric = "roofline_images_per_sec_mit_b2_segformer_512"
         unit = "images/s/chip (cost-model upper bound; wall-clock unreliable)"
-        vs = flagship["peak_tflops"] / A100_PEAK_TFLOPS
+        ref_flops = flagship.get(
+            "ref_formulation_flops_per_step", flagship["flops_per_step"]
+        )
+        vs = (flagship["peak_tflops"] / A100_PEAK_TFLOPS) * (
+            ref_flops / flagship["flops_per_step"]
+        )
 
     assert value <= flagship["roofline_images_per_sec"] + 1e-6, (
         "reported throughput exceeds the chip roofline — refusing to print"

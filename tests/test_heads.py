@@ -62,3 +62,28 @@ def test_uperhead_with_convnext_model():
     variables = model.init({"params": rng, "dropout": rng, "droppath": rng}, x, train=False)
     out = model.apply(variables, x, train=False)
     assert out.shape == (1, 64, 64, 9)
+
+
+def test_segformer_fold_matches_reference_formulation():
+    """The folded projection+fuse path must equal the reference dataflow
+    (project -> upsample -> concat -> fuse conv) on the SAME params: the
+    fold is pure linear-map composition, so fp32 outputs agree to rounding."""
+    channels = (32, 64, 160, 256)
+    feats = make_pyramid(channels=channels)
+    rng = jax.random.PRNGKey(0)
+    fused = get_head(
+        "segformerhead", channels=channels, num_classes=7, embed_dim=64,
+        dtype=jnp.float32,
+    )
+    unfused = get_head(
+        "segformerhead", channels=channels, num_classes=7, embed_dim=64,
+        dtype=jnp.float32, fused=False,
+    )
+    variables = fused.init({"params": rng}, feats, train=False)
+    # identical param trees: the unfused head loads the fused head's params
+    chex = unfused.init({"params": rng}, feats, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(chex)
+    a = fused.apply(variables, feats, train=False)
+    b = unfused.apply(variables, feats, train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=2e-5)
