@@ -85,14 +85,19 @@ class _LevelFuse(nn.Module):
                 ups.append(resize_like(z, target))
             acc = jnp.concatenate(ups, axis=-1) @ w.astype(dt)
         else:
-            acc = None
+            from segmentation_factory_tpu.ops.pallas_resize_sum import (
+                resize_sum,
+            )
+
+            zs = []
             for i, (y, (pk, pb)) in enumerate(zip(levels, projs)):
                 wi = w[i * e : (i + 1) * e].astype(jnp.float32)
                 m = (pk.astype(jnp.float32) @ wi).astype(dt)  # (C_i, E)
                 c = (pb.astype(jnp.float32) @ wi).astype(dt)  # (E,)
-                z = y.astype(dt) @ m + c
-                z = resize_like(z, target)
-                acc = z if acc is None else acc + z
+                zs.append(y.astype(dt) @ m + c)
+            # single fused upsample+sum pass on TPU (ops/pallas_resize_sum);
+            # XLA composition elsewhere
+            acc = resize_sum(zs)
         acc = build_norm(self.norm, dtype=self.dtype)(acc, train=train)
         return nn.relu(acc)
 
