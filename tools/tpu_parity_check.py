@@ -1,8 +1,9 @@
-"""Compiled-TPU parity check for the Pallas SRA kernels (fwd + bwd).
+"""Compiled-TPU parity check for ALL Pallas kernels (fwd + bwd):
+SRA attention, fused MixFFN, and the multi-level resize+sum.
 
 The pytest suite pins JAX to CPU (8 virtual devices), so Pallas kernels are
 only interpret-checked there. This script runs the REAL compiled kernels on
-the TPU backend against the XLA einsum reference and writes the error table
+the TPU backend against the XLA references and writes the error table
 to stdout (captured in TPU_PARITY.txt as the round's hardware artifact).
 """
 
@@ -24,9 +25,115 @@ from segmentation_factory_tpu.ops.pallas_attention import (
 )
 
 
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-9))
+
+
+def check_ffn():
+    from segmentation_factory_tpu.ops import pallas_ffn as F
+
+    print("-- fused MixFFN kernel --")
+    rng = np.random.default_rng(1)
+    for dtype, tol in [(jnp.float32, 5e-4), (jnp.bfloat16, 5e-2)]:
+        for b, h, w, c, hc in [(2, 32, 32, 64, 256), (1, 64, 16, 128, 512)]:
+            args = [
+                jnp.asarray(rng.normal(size=(b, h, w, c)), dtype),
+                jnp.asarray(rng.normal(size=(c, hc)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(hc,)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(3, 3, 1, hc)) * 0.3, dtype),
+                jnp.asarray(rng.normal(size=(hc,)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(hc, c)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(c,)) * 0.1, dtype),
+            ]
+
+            def loss_f(*a):
+                return jnp.mean(
+                    F.mixffn_apply(*a, use_pallas=True).astype(jnp.float32) ** 2
+                )
+
+            def loss_r(*a):
+                return jnp.mean(
+                    F.mixffn_apply(*a, use_pallas=False).astype(jnp.float32) ** 2
+                )
+
+            got = jax.jit(lambda *a: F.mixffn_apply(*a, use_pallas=True))(*args)
+            want = jax.jit(lambda *a: F.mixffn_apply(*a, use_pallas=False))(*args)
+            fwd_err = _rel(got, want)
+            gf = jax.jit(jax.grad(loss_f, argnums=tuple(range(7))))(*args)
+            gr = jax.jit(jax.grad(loss_r, argnums=tuple(range(7))))(*args)
+            # ground truth: fp32 XLA grads on CPU. In bf16 the XLA fallback's
+            # BIAS grads are far noisier than the kernel (bf16 chain
+            # reductions over b*h*w cotangents vs the kernel's f32 grid
+            # accumulators), so fused-vs-fallback is not a valid yardstick —
+            # judge each side against fp32 truth instead.
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                a32 = [jnp.asarray(np.asarray(t), jnp.float32) for t in args]
+                gt = jax.jit(jax.grad(loss_r, argnums=tuple(range(7))))(*a32)
+            err_fused = max(_rel(a, t) for a, t in zip(gf, gt))
+            err_xla = max(_rel(a, t) for a, t in zip(gr, gt))
+            status = (
+                "OK" if fwd_err < tol and err_fused < max(4 * err_xla, tol)
+                else "FAIL"
+            )
+            print(
+                f"{np.dtype(dtype).name:>9} b={b} h={h:>3} w={w:>3} c={c:>3}"
+                f" hc={hc:>4}  fwd_rel={fwd_err:.3e}"
+                f"  bwd_vs_f32: fused={err_fused:.3e} xla={err_xla:.3e}"
+                f"  {status}"
+            )
+
+
+def check_resize_sum():
+    from segmentation_factory_tpu.ops import pallas_resize_sum as R
+
+    print("-- fused resize+sum kernel --")
+    rng = np.random.default_rng(2)
+    for dtype, tol in [(jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)]:
+        for b, h, w, e in [(2, 64, 64, 128), (1, 128, 128, 768)]:
+            levels = [
+                jnp.asarray(rng.normal(size=(b, h // s, w // s, e)), dtype)
+                for s in (1, 2, 4, 8)
+            ]
+
+            def ref(ls):
+                acc = ls[0].astype(jnp.float32)
+                for z in ls[1:]:
+                    acc = acc + jax.image.resize(
+                        z.astype(jnp.float32), ls[0].shape, "bilinear"
+                    )
+                return acc.astype(ls[0].dtype)
+
+            got = jax.jit(lambda ls: R.resize_sum(ls, use_pallas=True))(levels)
+            want = jax.jit(ref)(levels)
+            fwd_err = _rel(got, want)
+
+            def loss_f(ls):
+                return jnp.mean(
+                    R.resize_sum(ls, use_pallas=True).astype(jnp.float32) ** 2
+                )
+
+            def loss_r(ls):
+                return jnp.mean(ref(ls).astype(jnp.float32) ** 2)
+
+            gf = jax.jit(jax.grad(loss_f))(levels)
+            gr = jax.jit(jax.grad(loss_r))(levels)
+            bwd_err = max(_rel(a, t) for a, t in zip(gf, gr))
+            status = "OK" if fwd_err < tol * 10 and bwd_err < tol * 40 else "FAIL"
+            print(
+                f"{np.dtype(dtype).name:>9} b={b} hw={h:>3} e={e:>3}"
+                f"  fwd_rel={fwd_err:.3e} bwd_rel={bwd_err:.3e}  {status}"
+            )
+
+
 def main():
     assert jax.default_backend() != "cpu", "needs a TPU backend"
     print(f"backend: {jax.default_backend()}  device: {jax.devices()[0].device_kind}")
+    check_ffn()
+    check_resize_sum()
+    print("-- fused SRA attention kernel --")
     rng = np.random.default_rng(0)
     for dtype, tol in [(jnp.float32, 2e-4), (jnp.bfloat16, 2e-2)]:
         for n, m, d in [(1024, 64, 32), (4096, 256, 64), (300, 32, 32)]:
