@@ -142,7 +142,12 @@ def bench_config(
         rkw["fused"] = False
         rstate, rdata, _ = _build_state(backbone, head, batch, img,
                                         head_kwargs=rkw)
-        rsingle = jax.jit(step_fn).lower(rstate, rdata, key).compile()
+        # reference dataflow end to end: unfolded head AND model-side
+        # full-resolution logits resize before the loss
+        ref_step = make_train_step(learning_rate_fn=sched,
+                                   loss_type=loss_type,
+                                   fuse_loss_resize=False)
+        rsingle = jax.jit(ref_step).lower(rstate, rdata, key).compile()
         ref_flops_per_step = _step_flops(rsingle)
         del rsingle, rstate, rdata
 

@@ -63,30 +63,44 @@ def train_step(
     loss_type: str = "ce",
     use_dice: bool = True,
     learning_rate_fn: Optional[Callable] = None,
+    fuse_loss_resize: bool = True,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    """One optimizer update. batch = {'image': (B,H,W,3) f32, 'label': (B,H,W) i32}."""
+    """One optimizer update. batch = {'image': (B,H,W,3) f32, 'label': (B,H,W) i32}.
+
+    ``fuse_loss_resize=False`` keeps the reference dataflow (model-side
+    full-resolution logits resize before the loss) — used by bench.py's
+    reference-formulation FLOP anchor."""
     step_rng = jax.random.fold_in(rng, state.step)
     d_rng, p_rng = jax.random.split(step_rng)
 
     def loss_fn(params):
         variables = {"params": params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-            logits, new_vars = state.apply_fn(
-                variables,
-                batch["image"],
-                train=True,
-                rngs={"dropout": d_rng, "droppath": p_rng},
-                mutable=["batch_stats"],
-            )
-        else:
-            logits = state.apply_fn(
-                variables,
-                batch["image"],
-                train=True,
-                rngs={"dropout": d_rng, "droppath": p_rng},
-            )
-            new_vars = {}
+        # head-resolution logits: the loss fuses the final upsample
+        # (losses.criterion low-res path); custom apply_fns without the
+        # kwarg keep the resized-output behavior
+        kw = dict(train=True, rngs={"dropout": d_rng, "droppath": p_rng})
+        try:
+            if not fuse_loss_resize:
+                raise TypeError  # reference dataflow requested
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, new_vars = state.apply_fn(
+                    variables, batch["image"], resize_output=False,
+                    mutable=["batch_stats"], **kw,
+                )
+            else:
+                logits = state.apply_fn(
+                    variables, batch["image"], resize_output=False, **kw
+                )
+                new_vars = {}
+        except TypeError:
+            if state.batch_stats:
+                logits, new_vars = state.apply_fn(
+                    variables, batch["image"], mutable=["batch_stats"], **kw
+                )
+            else:
+                logits = state.apply_fn(variables, batch["image"], **kw)
+                new_vars = {}
         loss = compute_loss(
             logits, batch["label"], ignore_index, loss_type, use_dice
         )

@@ -220,7 +220,19 @@ def criterion(
     use_dice: bool = True,
     loss_type: str = "ce",
 ) -> Array:
-    """Composite training loss (ref engine.py:10-15: CE + multiclass dice)."""
+    """Composite training loss (ref engine.py:10-15: CE + multiclass dice).
+
+    Accepts logits at label resolution OR at head resolution: in the
+    low-res case the bilinear upsample to label resolution happens inside
+    the loss (fused with CE/dice on TPU, ops/pallas_loss.py; the identical
+    resize->loss composition elsewhere)."""
+    if logits.shape[1:3] != labels.shape[1:3]:
+        from segmentation_factory_tpu.ops.pallas_loss import lowres_criterion
+
+        return lowres_criterion(
+            logits, labels, ignore_index, use_dice=use_dice,
+            loss_type=loss_type,
+        )
     base = get_loss(loss_type)(logits, labels, ignore_index=ignore_index)
     if use_dice:
         base = base + dice_loss(logits, labels, ignore_index=ignore_index)

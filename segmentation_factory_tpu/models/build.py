@@ -67,7 +67,12 @@ class SegmentationModel(nn.Module):
             **hkw,
         )
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, resize_output: bool = True):
+        """``resize_output=False`` returns head-resolution logits — the
+        training path uses it so the loss can fuse the 4x upsample into the
+        CE/dice kernels (ops/pallas_loss.py) instead of materializing the
+        full-resolution logits; semantics are unchanged (the loss upsamples
+        with the same align_corners=False bilinear)."""
         h, w = x.shape[1], x.shape[2]
         if self.remat and train:
             feats = nn.remat(
@@ -83,11 +88,13 @@ class SegmentationModel(nn.Module):
             return logits
         if isinstance(logits, (tuple, list)):  # heads with aux outputs
             main, aux = logits[0], logits[1:]
+            if not resize_output:
+                return [main] + list(aux) if (train and aux) else main
             main = resize(main, (h, w))
             if train and aux:
                 return [main] + [resize(a, (h, w)) for a in aux]
             return main
-        return resize(logits, (h, w))
+        return logits if not resize_output else resize(logits, (h, w))
 
     def features(self, x, train: bool = False):
         return self.backbone(x, train=train)

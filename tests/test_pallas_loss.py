@@ -1,0 +1,99 @@
+"""Fused upsample+CE/OHEM+dice loss kernel parity (interpret mode on CPU).
+
+The oracle is the unfused composition the model otherwise runs: bilinear
+resize (models.layers.resize == torch align_corners=False) followed by
+losses.criterion. Scalars and logits-gradients must agree to fp
+reassociation for ce and ohem, with and without dice, with ignored pixels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from segmentation_factory_tpu.ops import pallas_loss as PL
+
+B, HL, WL, C, S = 2, 8, 16, 5, 4
+IGN = 255
+
+
+def _data(seed=0, with_ignore=True):
+    rng = np.random.default_rng(seed)
+    lo = jnp.asarray(rng.normal(size=(B, HL, WL, C)) * 2.0, jnp.float32)
+    lab = rng.integers(0, C, (B, HL * S, WL * S))
+    if with_ignore:
+        mask = rng.random((B, HL * S, WL * S)) < 0.2
+        lab = np.where(mask, IGN, lab)
+    return lo, jnp.asarray(lab, jnp.int32)
+
+
+@pytest.mark.parametrize("loss_type", ["ce", "ohem"])
+@pytest.mark.parametrize("use_dice", [True, False])
+@pytest.mark.parametrize("with_ignore", [True, False])
+def test_fused_scalar_matches_unfused(loss_type, use_dice, with_ignore):
+    lo, lab = _data(with_ignore=with_ignore)
+    with pltpu.force_tpu_interpret_mode():
+        got = PL._fused_loss(lo, lab, S, loss_type, use_dice, IGN)
+    want = PL._xla_twin(lo, lab, S, loss_type, use_dice, IGN)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("loss_type", ["ce", "ohem"])
+@pytest.mark.parametrize("use_dice", [True, False])
+def test_fused_grads_match_unfused(loss_type, use_dice):
+    lo, lab = _data()
+
+    def fused(x):
+        return PL._fused_loss(x, lab, S, loss_type, use_dice, IGN)
+
+    def ref(x):
+        return PL._xla_twin(x, lab, S, loss_type, use_dice, IGN)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(fused)(lo)
+    gr = jax.grad(ref)(lo)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_fused_grads_all_ignored_image():
+    """One image entirely ignore-labelled: grads flow only from the other
+    (and dice's empty-set rule stays finite)."""
+    lo, lab = _data()
+    lab = lab.at[1].set(IGN)
+
+    def fused(x):
+        return PL._fused_loss(x, lab, S, "ce", True, IGN)
+
+    def ref(x):
+        return PL._xla_twin(x, lab, S, "ce", True, IGN)
+
+    with pltpu.force_tpu_interpret_mode():
+        np.testing.assert_allclose(float(fused(lo)), float(jax.jit(ref)(lo)),
+                                   rtol=1e-5, atol=1e-6)
+        gf = jax.grad(fused)(lo)
+    gr = jax.grad(ref)(lo)
+    assert np.all(np.isfinite(np.asarray(gf)))
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_lowres_criterion_fallback_matches():
+    lo, lab = _data()
+    got = PL.lowres_criterion(lo, lab, IGN, use_dice=True, loss_type="ce",
+                              use_pallas=False)
+    want = PL._xla_twin(lo, lab, S, "ce", True, IGN)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_odd_scale_falls_back():
+    """Non-dyadic ratio routes through the XLA composition."""
+    rng = np.random.default_rng(0)
+    lo = jnp.asarray(rng.normal(size=(1, 10, 10, 4)), jnp.float32)
+    lab = jnp.asarray(rng.integers(0, 4, (1, 30, 30)), jnp.int32)
+    got = PL.lowres_criterion(lo, lab, IGN, use_dice=False, loss_type="ce")
+    want = PL._xla_twin(lo, lab, 3, "ce", False, IGN)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
