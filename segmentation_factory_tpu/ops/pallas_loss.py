@@ -442,11 +442,14 @@ _fused_loss.defvjp(_fused_fwd, _fused_bwd)
 
 def _xla_twin(lo, labels, s, loss_type, use_dice, ignore_index):
     """The unfused composition: resize then losses.* — the exact math the
-    fused path replaces (and the fallback on non-TPU backends)."""
+    fused path replaces (and the fallback on non-TPU backends). Resizes to
+    the LABELS' spatial shape (what the model-side resize produced), which
+    also covers non-divisible stride geometries."""
     from segmentation_factory_tpu import losses as L
     from segmentation_factory_tpu.models.layers import resize
 
-    hi = resize(lo, (lo.shape[1] * s, lo.shape[2] * s))
+    del s
+    hi = resize(lo, (labels.shape[1], labels.shape[2]))
     return L.criterion(hi, labels, ignore_index, use_dice=use_dice,
                        loss_type=loss_type)
 
@@ -478,6 +481,7 @@ def lowres_criterion(
         use_pallas = use_pallas_default()
     s = hh // max(hl, 1)
     cp = _pad_channels(c)
+    ts = _pick_tile(hl, s, cp, wl)
     ok = (
         use_pallas
         and loss_type.lower().replace("_", "")
@@ -486,7 +490,9 @@ def lowres_criterion(
         and hl * s == hh
         and wl * s == wh
         and wl % 128 == 0
-        and hl % _pick_tile(hl, s, cp, wl) == 0
+        and hl % ts == 0
+        # odd hl can stop the tile halving above budget — refuse, fall back
+        and ts * s * cp * wl * 4 * 10 <= 32 * 1024 * 1024
     )
     if ok:
         return _fused_loss(logits_lo, labels, s,

@@ -39,6 +39,33 @@ def test_fused_scalar_matches_unfused(loss_type, use_dice, with_ignore):
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("s", [2, 8])
+def test_fused_other_scales(s):
+    """s=2 and s=8 phase tables, scalar + grad (aux heads at stride 8)."""
+    rng = np.random.default_rng(3)
+    lo = jnp.asarray(rng.normal(size=(1, 8, 16, C)) * 2.0, jnp.float32)
+    lab = rng.integers(0, C, (1, 8 * s, 16 * s))
+    lab = jnp.asarray(
+        np.where(rng.random(lab.shape) < 0.15, IGN, lab), jnp.int32
+    )
+
+    def fused(x):
+        return PL._fused_loss(x, lab, s, "ce", True, IGN)
+
+    def ref(x):
+        return PL._xla_twin(x, lab, s, "ce", True, IGN)
+
+    with pltpu.force_tpu_interpret_mode():
+        np.testing.assert_allclose(
+            float(fused(lo)), float(ref(lo)), rtol=1e-5, atol=1e-6
+        )
+        gf = jax.grad(fused)(lo)
+    gr = jax.grad(ref)(lo)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6
+    )
+
+
 @pytest.mark.parametrize("loss_type", ["ce", "ohem"])
 @pytest.mark.parametrize("use_dice", [True, False])
 def test_fused_grads_match_unfused(loss_type, use_dice):
@@ -96,4 +123,21 @@ def test_odd_scale_falls_back():
     lab = jnp.asarray(rng.integers(0, 4, (1, 30, 30)), jnp.int32)
     got = PL.lowres_criterion(lo, lab, IGN, use_dice=False, loss_type="ce")
     want = PL._xla_twin(lo, lab, 3, "ce", False, IGN)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_nondivisible_stride_geometry_falls_back():
+    """50-pixel input with ceil-stride head geometry (13 at stride 4):
+    the loss resizes to the LABELS' exact shape, like the model-side
+    resize it replaces."""
+    rng = np.random.default_rng(4)
+    lo = jnp.asarray(rng.normal(size=(1, 13, 13, 4)), jnp.float32)
+    lab = jnp.asarray(rng.integers(0, 4, (1, 50, 50)), jnp.int32)
+    from segmentation_factory_tpu.models.layers import resize
+    from segmentation_factory_tpu import losses as L
+
+    got = PL.lowres_criterion(lo, lab, IGN, use_dice=True, loss_type="ce",
+                              use_pallas=False)
+    want = L.criterion(resize(lo, (50, 50)), lab, IGN, use_dice=True,
+                       loss_type="ce")
     np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
