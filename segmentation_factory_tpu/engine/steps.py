@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from segmentation_factory_tpu import losses as L
 from segmentation_factory_tpu.engine.state import TrainState
-from segmentation_factory_tpu.metrics import update_confusion_matrix
+from segmentation_factory_tpu.metrics import confusion_matrix
 
 # per-loss aux-output weights (ref util/losses.py): CrossEntropy defaults
 # [1, 0.4, 0.4] (:28) but OhemCrossEntropy defaults [1, 1] (:45)
@@ -132,13 +132,32 @@ def eval_step(
 ) -> jax.Array:
     """Accumulate the (C, C) confusion matrix on device (fp32 forward,
     matching the reference's autocast-off eval, engine.py:88)."""
+    preds = _predict_map(state, batch["image"])
+    return hist + confusion_matrix(
+        preds, batch["label"], hist.shape[0], ignore_index
+    )
+
+
+def _predict_map(state: TrainState, images: jax.Array) -> jax.Array:
+    """Hi-res argmax map; the final upsample+argmax is fused on TPU
+    (ops/pallas_loss.resize_argmax_to) so the full-resolution logits never
+    reach HBM. Identical predictions to argmax(resize(logits))."""
+    from segmentation_factory_tpu.ops.pallas_loss import resize_argmax_to
+
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
-    logits = state.apply_fn(variables, batch["image"], train=False)
+    h, w = images.shape[1], images.shape[2]
+    try:
+        logits = state.apply_fn(variables, images, train=False,
+                                resize_output=False)
+    except TypeError:
+        logits = state.apply_fn(variables, images, train=False)
     if isinstance(logits, (tuple, list)):
         logits = logits[0]
-    return update_confusion_matrix(hist, logits, batch["label"], ignore_index)
+    if logits.shape[1:3] == (h, w):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return resize_argmax_to(logits, (h, w)).astype(jnp.int32)
 
 
 def make_train_step(**kwargs) -> Callable:
@@ -151,10 +170,4 @@ def make_eval_step(**kwargs) -> Callable:
 
 def predict_step(state: TrainState, images: jax.Array) -> jax.Array:
     """argmax segmentation map for a batch (inference path)."""
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
-    logits = state.apply_fn(variables, images, train=False)
-    if isinstance(logits, (tuple, list)):
-        logits = logits[0]
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return _predict_map(state, images)

@@ -328,6 +328,79 @@ def _backward(lo_t, lab, wmap, dcoef, s, ignore_index, ts):
     return dlo
 
 
+def _argmax_kernel(s, lo_ref, lop_ref, lon_ref, o_ref):
+    """Forward-only: upsample in VMEM and emit the hi-res argmax directly
+    (the eval/predict path — hi-res logits never reach HBM)."""
+    src = jnp.concatenate(
+        [lop_ref[0], lo_ref[0], lon_ref[0]], axis=0
+    ).astype(jnp.float32)
+    hi_h = _upsample_h(src, s)
+    cp = hi_h.shape[1]
+    cls = jax.lax.broadcasted_iota(jnp.int32, (1, cp, 1), 1)
+    for m in range(s):
+        hi = _hi_phase_w(hi_h, m, s)
+        mx = jnp.max(hi, axis=1, keepdims=True)
+        # first max index — matches jnp.argmax tie semantics
+        idx = jnp.min(
+            jnp.where(hi == mx, cls, jnp.int32(cp)), axis=1
+        )
+        o_ref[0, :, m, :] = idx.astype(jnp.int32)
+
+
+def resize_argmax_to(lo: Array, out_hw, use_pallas: bool | None = None):
+    """argmax(resize(lo, out_hw)) — fused when out_hw is a dyadic multiple.
+
+    Exact same prediction as ``jnp.argmax(resize(lo, out_hw), -1)`` (up to
+    fp reassociation at measure-zero ties); hi-res logits stay in VMEM."""
+    b, hl, wl, c = lo.shape
+    hh, wh = out_hw
+    if use_pallas is None:
+        use_pallas = use_pallas_default()
+    s = hh // max(hl, 1)
+    cp = _pad_channels(c)
+    ts = _pick_tile(hl, s, cp, wl) if hl else 1
+    ok = (
+        use_pallas
+        and s in (2, 4, 8)
+        and hl * s == hh
+        and wl * s == wh
+        and wl % 128 == 0
+        and hl % ts == 0
+        and ts * s * cp * wl * 4 * 10 <= 32 * 1024 * 1024
+    )
+    if not ok:
+        from segmentation_factory_tpu.models.layers import resize
+
+        return jnp.argmax(resize(lo, (hh, wh)), axis=-1).astype(jnp.int32)
+    lo_t = jnp.transpose(lo.astype(jnp.float32), (0, 1, 3, 2))
+    if cp != c:
+        lo_t = jnp.pad(lo_t, ((0, 0), (0, 0), (0, cp - c), (0, 0)),
+                       constant_values=_NEG)
+    th = ts * s
+    grid = (b, hl // ts)
+    lo_spec, prev, nxt = _specs(b, hl, cp, wl, ts)
+    map_spec = pl.BlockSpec((1, th, s, wl), lambda bb, i: (bb, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_argmax_kernel, s),
+        grid=grid,
+        in_specs=[lo_spec, prev, nxt],
+        out_specs=map_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, s, wl), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * hh * s * wl * cp,
+            bytes_accessed=lo_t.size * 4 + b * hh * s * wl * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(lo_t, lo_t, lo_t)
+    # un-permute the phase-blocked columns to true raster order
+    return out.transpose(0, 1, 3, 2).reshape(b, hh, wh)
+
+
 # ---------------------------------------------------------------------------
 # scalar glue (shared by the fused path and its XLA twin)
 

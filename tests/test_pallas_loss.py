@@ -141,3 +141,23 @@ def test_nondivisible_stride_geometry_falls_back():
     want = L.criterion(resize(lo, (50, 50)), lab, IGN, use_dice=True,
                        loss_type="ce")
     np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+
+def test_resize_argmax_fused_matches_interpret():
+    lo, _ = _data()
+    with pltpu.force_tpu_interpret_mode():
+        got = PL.resize_argmax_to(lo, (HL * S, WL * S), use_pallas=True)
+    from segmentation_factory_tpu.models.layers import resize
+
+    want = jnp.argmax(resize(lo, (HL * S, WL * S)), axis=-1)
+    assert got.shape == (B, HL * S, WL * S)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_resize_argmax_fallback_same_shape():
+    lo, _ = _data()
+    got = PL.resize_argmax_to(lo, (HL * 3, WL * 3), use_pallas=False)
+    from segmentation_factory_tpu.models.layers import resize
+
+    want = jnp.argmax(resize(lo, (HL * 3, WL * 3)), axis=-1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
