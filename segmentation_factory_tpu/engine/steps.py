@@ -73,34 +73,24 @@ def train_step(
     step_rng = jax.random.fold_in(rng, state.step)
     d_rng, p_rng = jax.random.split(step_rng)
 
+    lowres = fuse_loss_resize and _accepts_resize_output(state.apply_fn)
+
     def loss_fn(params):
         variables = {"params": params}
         # head-resolution logits: the loss fuses the final upsample
         # (losses.criterion low-res path); custom apply_fns without the
         # kwarg keep the resized-output behavior
         kw = dict(train=True, rngs={"dropout": d_rng, "droppath": p_rng})
-        try:
-            if not fuse_loss_resize:
-                raise TypeError  # reference dataflow requested
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                logits, new_vars = state.apply_fn(
-                    variables, batch["image"], resize_output=False,
-                    mutable=["batch_stats"], **kw,
-                )
-            else:
-                logits = state.apply_fn(
-                    variables, batch["image"], resize_output=False, **kw
-                )
-                new_vars = {}
-        except TypeError:
-            if state.batch_stats:
-                logits, new_vars = state.apply_fn(
-                    variables, batch["image"], mutable=["batch_stats"], **kw
-                )
-            else:
-                logits = state.apply_fn(variables, batch["image"], **kw)
-                new_vars = {}
+        if lowres:
+            kw["resize_output"] = False
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            logits, new_vars = state.apply_fn(
+                variables, batch["image"], mutable=["batch_stats"], **kw
+            )
+        else:
+            logits = state.apply_fn(variables, batch["image"], **kw)
+            new_vars = {}
         loss = compute_loss(
             logits, batch["label"], ignore_index, loss_type, use_dice
         )
@@ -138,6 +128,23 @@ def eval_step(
     )
 
 
+def _accepts_resize_output(apply_fn) -> bool:
+    """True iff apply_fn is a flax Module.apply whose __call__ takes the
+    resize_output kwarg (SegmentationModel). Signature introspection, NOT
+    try/except: a TypeError raised INSIDE the model body must propagate,
+    not silently re-route the step onto the legacy dataflow."""
+    import inspect
+
+    mod = getattr(apply_fn, "__self__", None)
+    call = getattr(type(mod), "__call__", None) if mod is not None else None
+    if call is None:
+        return False
+    try:
+        return "resize_output" in inspect.signature(call).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def _predict_map(state: TrainState, images: jax.Array) -> jax.Array:
     """Hi-res argmax map; the final upsample+argmax is fused on TPU
     (ops/pallas_loss.resize_argmax_to) so the full-resolution logits never
@@ -148,11 +155,12 @@ def _predict_map(state: TrainState, images: jax.Array) -> jax.Array:
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     h, w = images.shape[1], images.shape[2]
-    try:
-        logits = state.apply_fn(variables, images, train=False,
-                                resize_output=False)
-    except TypeError:
-        logits = state.apply_fn(variables, images, train=False)
+    kw = (
+        {"resize_output": False}
+        if _accepts_resize_output(state.apply_fn)
+        else {}
+    )
+    logits = state.apply_fn(variables, images, train=False, **kw)
     if isinstance(logits, (tuple, list)):
         logits = logits[0]
     if logits.shape[1:3] == (h, w):

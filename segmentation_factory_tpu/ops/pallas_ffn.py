@@ -159,7 +159,8 @@ def _bwd_kernel(
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ).reshape(th + 2, w, hc)
     # gelu and gelu' share the erf: cdf once, pdf once (one erf poly + one
-    # exp fewer per hidden element than calling _gelu/_dgelu separately)
+    # exp fewer per hidden element than evaluating gelu and its
+    # derivative independently)
     cdf_ext2 = 0.5 * (1.0 + _erf_f32(hd_ext2 / _SQRT2))
     pdf_ext2 = jnp.exp(-0.5 * hd_ext2 * hd_ext2) * (1.0 / 2.5066282746310002)
     dhd_ext2 = dhg_ext2 * (cdf_ext2 + hd_ext2 * pdf_ext2)

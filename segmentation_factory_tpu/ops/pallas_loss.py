@@ -223,15 +223,22 @@ def _pick_tile(hl: int, s: int, cp: int, wl: int) -> int:
     return ts
 
 
-def _prep(lo, labels, s):
-    """Host-side XLA prep: transpose lo to (B, H_lo, Cp, W_lo) with -1e30
-    channel padding; labels to phase-blocked (B, H, s, W_lo)."""
-    b, hl, wl, c = lo.shape
-    cp = _pad_channels(c)
+def _transpose_pad(lo, cp):
+    """Transpose lo to (B, H_lo, Cp, W_lo) with -1e30 channel padding (pad
+    channels vanish under softmax/lse/argmax naturally)."""
+    c = lo.shape[-1]
     lo_t = jnp.transpose(lo.astype(jnp.float32), (0, 1, 3, 2))
     if cp != c:
         lo_t = jnp.pad(lo_t, ((0, 0), (0, 0), (0, cp - c), (0, 0)),
                        constant_values=_NEG)
+    return lo_t
+
+
+def _prep(lo, labels, s):
+    """Host-side XLA prep: transposed/padded lo plus labels in the
+    phase-blocked (B, H, s, W_lo) layout."""
+    b, hl, wl, c = lo.shape
+    lo_t = _transpose_pad(lo, _pad_channels(c))
     lab = labels.reshape(b, hl * s, wl, s).transpose(0, 1, 3, 2)
     return lo_t, lab.astype(jnp.int32)
 
@@ -347,6 +354,30 @@ def _argmax_kernel(s, lo_ref, lop_ref, lon_ref, o_ref):
         o_ref[0, :, m, :] = idx.astype(jnp.int32)
 
 
+def _shape_gate_ok(lo_shape, out_hw, use_pallas: bool) -> bool:
+    """Shared fused-path eligibility: dyadic scale, lane-aligned W, tile
+    divides H, working set within the VMEM budget."""
+    b, hl, wl, c = lo_shape
+    hh, wh = out_hw
+    s = hh // max(hl, 1)
+    cp = _pad_channels(c)
+    ts = _pick_tile(hl, s, cp, wl) if hl else 1
+    return (
+        use_pallas
+        and s in (2, 4, 8)
+        and hl * s == hh
+        and wl * s == wh
+        and wl % 128 == 0
+        and hl % ts == 0
+        # odd hl can stop the tile halving above budget — refuse, fall back
+        and ts * s * cp * wl * 4 * 10 <= 32 * 1024 * 1024
+    )
+
+
+def _argmax_gate_ok(lo_shape, out_hw, use_pallas: bool) -> bool:
+    return _shape_gate_ok(lo_shape, out_hw, use_pallas)
+
+
 def resize_argmax_to(lo: Array, out_hw, use_pallas: bool | None = None):
     """argmax(resize(lo, out_hw)) — fused when out_hw is a dyadic multiple.
 
@@ -356,26 +387,14 @@ def resize_argmax_to(lo: Array, out_hw, use_pallas: bool | None = None):
     hh, wh = out_hw
     if use_pallas is None:
         use_pallas = use_pallas_default()
-    s = hh // max(hl, 1)
-    cp = _pad_channels(c)
-    ts = _pick_tile(hl, s, cp, wl) if hl else 1
-    ok = (
-        use_pallas
-        and s in (2, 4, 8)
-        and hl * s == hh
-        and wl * s == wh
-        and wl % 128 == 0
-        and hl % ts == 0
-        and ts * s * cp * wl * 4 * 10 <= 32 * 1024 * 1024
-    )
-    if not ok:
+    if not _shape_gate_ok(lo.shape, out_hw, use_pallas):
         from segmentation_factory_tpu.models.layers import resize
 
         return jnp.argmax(resize(lo, (hh, wh)), axis=-1).astype(jnp.int32)
-    lo_t = jnp.transpose(lo.astype(jnp.float32), (0, 1, 3, 2))
-    if cp != c:
-        lo_t = jnp.pad(lo_t, ((0, 0), (0, 0), (0, cp - c), (0, 0)),
-                       constant_values=_NEG)
+    s = hh // hl
+    cp = _pad_channels(c)
+    ts = _pick_tile(hl, s, cp, wl)
+    lo_t = _transpose_pad(lo, cp)
     th = ts * s
     grid = (b, hl // ts)
     lo_spec, prev, nxt = _specs(b, hl, cp, wl, ts)
@@ -548,24 +567,15 @@ def lowres_criterion(
 ) -> Array:
     """criterion() over LOW-RES logits: fused upsample+loss on TPU when the
     shapes allow, the explicit resize->criterion composition elsewhere."""
-    b, hl, wl, c = logits_lo.shape
+    hl = logits_lo.shape[1]
     hh, wh = labels.shape[1], labels.shape[2]
     if use_pallas is None:
         use_pallas = use_pallas_default()
     s = hh // max(hl, 1)
-    cp = _pad_channels(c)
-    ts = _pick_tile(hl, s, cp, wl)
     ok = (
-        use_pallas
-        and loss_type.lower().replace("_", "")
+        loss_type.lower().replace("_", "")
         in ("ce", "crossentropy", "ohem", "ohemcrossentropy")
-        and s in (2, 4, 8)
-        and hl * s == hh
-        and wl * s == wh
-        and wl % 128 == 0
-        and hl % ts == 0
-        # odd hl can stop the tile halving above budget — refuse, fall back
-        and ts * s * cp * wl * 4 * 10 <= 32 * 1024 * 1024
+        and _shape_gate_ok(logits_lo.shape, (hh, wh), use_pallas)
     )
     if ok:
         return _fused_loss(logits_lo, labels, s,

@@ -255,4 +255,15 @@ def resize_sum(levels, use_pallas: bool | None = None) -> Array:
         return _fused(z1, tuple(smalls), tuple(scales), tile)
     if z1 is None:
         z1 = jnp.zeros(target.shape, target.dtype)
-    return _xla_resize_sum(z1, smalls, scales)
+    if ok_shapes:
+        return _xla_resize_sum(z1, smalls, scales)
+    # non-dyadic pyramid (ceil-stride geometry, e.g. a 50px input's
+    # 13/7/4/2 levels): the polyphase math does not apply — use the
+    # general bilinear resize, exactly like the resize_like composition
+    # this function replaced
+    from segmentation_factory_tpu.models.layers import resize
+
+    acc = z1
+    for z in smalls:
+        acc = acc + resize(z, (h, w))
+    return acc

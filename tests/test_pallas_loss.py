@@ -144,13 +144,17 @@ def test_nondivisible_stride_geometry_falls_back():
 
 
 def test_resize_argmax_fused_matches_interpret():
-    lo, _ = _data()
+    # W_lo = 128 so the fused gate actually passes (wl % 128 == 0); assert
+    # the kernel path was taken, not the fallback comparing to itself
+    rng = np.random.default_rng(7)
+    lo = jnp.asarray(rng.normal(size=(1, 16, 128, C)) * 2.0, jnp.float32)
+    assert PL._argmax_gate_ok(lo.shape, (16 * S, 128 * S), True)
     with pltpu.force_tpu_interpret_mode():
-        got = PL.resize_argmax_to(lo, (HL * S, WL * S), use_pallas=True)
+        got = PL.resize_argmax_to(lo, (16 * S, 128 * S), use_pallas=True)
     from segmentation_factory_tpu.models.layers import resize
 
-    want = jnp.argmax(resize(lo, (HL * S, WL * S)), axis=-1)
-    assert got.shape == (B, HL * S, WL * S)
+    want = jnp.argmax(resize(lo, (16 * S, 128 * S)), axis=-1)
+    assert got.shape == (1, 16 * S, 128 * S)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 

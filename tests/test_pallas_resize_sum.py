@@ -104,3 +104,34 @@ def test_resize_sum_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_resize_sum_nondyadic_ceil_stride_pyramid():
+    """50px-input geometry (levels 13/7/4/2): scales aren't exact powers of
+    two, so the general bilinear fallback must handle it (regression: the
+    polyphase fallback used to crash on the shape mismatch)."""
+    rng = np.random.default_rng(5)
+    levels = [
+        jnp.asarray(rng.normal(size=(1, n, n, 32)), jnp.float32)
+        for n in (13, 7, 4, 2)
+    ]
+    got = R.resize_sum(levels, use_pallas=False)
+    want = _ref(levels)
+    assert got.shape == (1, 13, 13, 32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_segformer_head_nondyadic_input():
+    """Full SegFormer model on a 50px input (ceil-stride pyramid) — the
+    end-to-end path of the crash found in review."""
+    from segmentation_factory_tpu.models import build_model
+
+    model = build_model("mit_b0", "segformerhead", num_classes=4,
+                        dtype=jnp.float32)
+    x = jnp.ones((1, 50, 50, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    v = model.init({"params": rng, "dropout": rng, "droppath": rng}, x)
+    out = model.apply(v, x, train=False)
+    assert out.shape == (1, 50, 50, 4)

@@ -128,11 +128,72 @@ def check_resize_sum():
             )
 
 
+def check_loss():
+    from segmentation_factory_tpu.ops import pallas_loss as PL
+
+    print("-- fused upsample+CE/OHEM+dice loss kernels --")
+    rng = np.random.default_rng(3)
+    for loss_type in ("ce", "ohem"):
+        for b, hl, wl, c, s in [(2, 32, 128, 19, 4), (1, 16, 128, 8, 8)]:
+            lo = jnp.asarray(rng.normal(size=(b, hl, wl, c)) * 2.0,
+                             jnp.float32)
+            lab = rng.integers(0, c, (b, hl * s, wl * s))
+            lab = jnp.asarray(
+                np.where(rng.random(lab.shape) < 0.2, 255, lab), jnp.int32
+            )
+            assert PL._shape_gate_ok(lo.shape, (hl * s, wl * s), True)
+
+            def fused(x):
+                return PL.lowres_criterion(x, lab, 255, use_dice=True,
+                                           loss_type=loss_type,
+                                           use_pallas=True)
+
+            def ref(x):
+                return PL._xla_twin(x, lab, s, loss_type, True, 255)
+
+            got = float(jax.jit(fused)(lo))
+            want = float(jax.jit(ref)(lo))
+            gf = jax.jit(jax.grad(fused))(lo)
+            gr = jax.jit(jax.grad(ref))(lo)
+            bwd_err = _rel(gf, gr)
+            status = (
+                "OK" if abs(got - want) < 1e-4 * max(1.0, abs(want))
+                and bwd_err < 1e-3 else "FAIL"
+            )
+            print(
+                f"{loss_type:>5} b={b} hl={hl:>3} wl={wl} c={c:>2} s={s}"
+                f"  scalar {got:.6f} vs {want:.6f}  bwd_rel={bwd_err:.3e}"
+                f"  {status}"
+            )
+
+
+def check_argmax():
+    from segmentation_factory_tpu.ops import pallas_loss as PL
+    from segmentation_factory_tpu.models.layers import resize
+
+    print("-- fused upsample+argmax kernel --")
+    rng = np.random.default_rng(4)
+    b, hl, wl, c, s = 2, 32, 128, 19, 4
+    lo = jnp.asarray(rng.normal(size=(b, hl, wl, c)) * 2.0, jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda x: PL.resize_argmax_to(x, (hl * s, wl * s), use_pallas=True)
+    )(lo))
+    want = np.asarray(jax.jit(
+        lambda x: jnp.argmax(resize(x, (hl * s, wl * s)), axis=-1)
+    )(lo))
+    mismatch = float((got != want).mean())
+    status = "OK" if mismatch < 1e-5 else "FAIL"
+    print(f"argmax b={b} hl={hl} wl={wl} c={c} s={s}"
+          f"  mismatch_rate={mismatch:.2e}  {status}")
+
+
 def main():
     assert jax.default_backend() != "cpu", "needs a TPU backend"
     print(f"backend: {jax.default_backend()}  device: {jax.devices()[0].device_kind}")
     check_ffn()
     check_resize_sum()
+    check_loss()
+    check_argmax()
     print("-- fused SRA attention kernel --")
     rng = np.random.default_rng(0)
     for dtype, tol in [(jnp.float32, 2e-4), (jnp.bfloat16, 2e-2)]:
