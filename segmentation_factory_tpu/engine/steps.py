@@ -41,16 +41,23 @@ def compute_loss(
         return mask2former_loss(
             logits, labels, num_classes, ignore_index=ignore_index
         )
+    # binary datasets get the reference's hardcoded CE class weights
+    # [background 1.0, object 2.0] (ref engine.py:28-31, its own TODO
+    # acknowledges the hardcode); multi-class stays unweighted
+    first = logits[0] if isinstance(logits, (tuple, list)) else logits
+    cw = (1.0, 2.0) if first.shape[-1] == 2 else None
     if isinstance(logits, (tuple, list)):
         total = jnp.zeros((), jnp.float32)
         weights = AUX_WEIGHTS.get(loss_type, _AUX_DEFAULT)
         for w, lg in zip(weights, logits):
             total = total + w * L.criterion(
-                lg, labels, ignore_index, use_dice=use_dice, loss_type=loss_type
+                lg, labels, ignore_index, use_dice=use_dice,
+                loss_type=loss_type, class_weights=cw,
             )
         return total
     return L.criterion(
-        logits, labels, ignore_index, use_dice=use_dice, loss_type=loss_type
+        logits, labels, ignore_index, use_dice=use_dice, loss_type=loss_type,
+        class_weights=cw,
     )
 
 

@@ -219,21 +219,29 @@ def criterion(
     ignore_index: int = 255,
     use_dice: bool = True,
     loss_type: str = "ce",
+    class_weights=None,
 ) -> Array:
     """Composite training loss (ref engine.py:10-15: CE + multiclass dice).
 
     Accepts logits at label resolution OR at head resolution: in the
     low-res case the bilinear upsample to label resolution happens inside
     the loss (fused with CE/dice on TPU, ops/pallas_loss.py; the identical
-    resize->loss composition elsewhere)."""
+    resize->loss composition elsewhere). ``class_weights`` applies to the
+    CE term only, like the reference's ``F.cross_entropy(weight=...)``
+    (engine.py:11); dice is unweighted there too."""
     if logits.shape[1:3] != labels.shape[1:3]:
         from segmentation_factory_tpu.ops.pallas_loss import lowres_criterion
 
         return lowres_criterion(
             logits, labels, ignore_index, use_dice=use_dice,
-            loss_type=loss_type,
+            loss_type=loss_type, class_weights=class_weights,
         )
-    base = get_loss(loss_type)(logits, labels, ignore_index=ignore_index)
+    key = loss_type.lower().replace("_", "")
+    if class_weights is not None and key in ("ce", "crossentropy"):
+        base = cross_entropy(logits, labels, ignore_index=ignore_index,
+                             class_weights=class_weights)
+    else:
+        base = get_loss(loss_type)(logits, labels, ignore_index=ignore_index)
     if use_dice:
         base = base + dice_loss(logits, labels, ignore_index=ignore_index)
     return base

@@ -447,13 +447,20 @@ def _dice_coefs(inter, psum, ysum, smooth=1e-6):
     return scale * ddice_di, scale * ddice_dp
 
 
-def _ce_scalar_and_weights(loss_map, valid, loss_type, thresh=0.7,
+def _ce_scalar_and_weights(loss_map, valid, loss_type, lab=None,
+                           class_weights=None, thresh=0.7,
                            min_kept_ratio=1.0 / 16.0):
     """CE / OHEM-CE scalar from the per-pixel loss map, plus the per-pixel
     weight map the backward uses (keep-set treated as constant — identical
-    to autodiff through losses.cross_entropy / ohem_cross_entropy)."""
+    to autodiff through losses.cross_entropy / ohem_cross_entropy).
+    ``class_weights`` (CE only, like torch F.cross_entropy weight=) scales
+    each pixel by its label's weight; normalization is the weighted sum."""
     flat = loss_map.reshape(-1)
     vflat = valid.reshape(-1).astype(jnp.float32)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, jnp.float32)
+        safe = jnp.where(valid, lab, 0).reshape(-1)
+        vflat = vflat * cw[safe]
     if loss_type in ("ohem", "ohemcrossentropy"):
         loss_thresh = -jnp.log(jnp.asarray(thresh, jnp.float32))
         masked = jnp.where(vflat > 0, flat, -jnp.inf)
@@ -477,20 +484,24 @@ def _ce_scalar_and_weights(loss_map, valid, loss_type, thresh=0.7,
 # public entry
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _fused_loss(lo, labels, s, loss_type, use_dice, ignore_index):
-    out, _ = _fused_fwd(lo, labels, s, loss_type, use_dice, ignore_index)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fused_loss(lo, labels, s, loss_type, use_dice, ignore_index,
+                class_weights=None):
+    out, _ = _fused_fwd(lo, labels, s, loss_type, use_dice, ignore_index,
+                        class_weights)
     return out
 
 
-def _fused_fwd(lo, labels, s, loss_type, use_dice, ignore_index):
+def _fused_fwd(lo, labels, s, loss_type, use_dice, ignore_index,
+               class_weights=None):
     c = lo.shape[-1]
     lo_t, lab = _prep(lo, labels, s)
     _, hl, cp, wl = lo_t.shape
     ts = _pick_tile(hl, s, cp, wl)
     loss_map, parts = _forward(lo_t, lab, s, ignore_index, ts)
     valid = lab != ignore_index
-    ce, wmap = _ce_scalar_and_weights(loss_map, valid, loss_type)
+    ce, wmap = _ce_scalar_and_weights(loss_map, valid, loss_type, lab=lab,
+                                      class_weights=class_weights)
     total = ce
     inter = psum = ysum = None
     if use_dice:
@@ -505,7 +516,9 @@ def _fused_fwd(lo, labels, s, loss_type, use_dice, ignore_index):
     return total, (lo_t, lab, wmap, inter, psum, ysum, token)
 
 
-def _fused_bwd(s, loss_type, use_dice, ignore_index, res, g):
+def _fused_bwd(s, loss_type, use_dice, ignore_index, class_weights,
+               res, g):
+    del class_weights  # already folded into the saved wmap
     lo_t, lab, wmap, inter, psum, ysum, token = res
     c, lo_dtype = token.shape[1], token.dtype
     b, hl, cp, wl = lo_t.shape
@@ -532,7 +545,8 @@ def _fused_bwd(s, loss_type, use_dice, ignore_index, res, g):
 _fused_loss.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _xla_twin(lo, labels, s, loss_type, use_dice, ignore_index):
+def _xla_twin(lo, labels, s, loss_type, use_dice, ignore_index,
+              class_weights=None):
     """The unfused composition: resize then losses.* — the exact math the
     fused path replaces (and the fallback on non-TPU backends). Resizes to
     the LABELS' spatial shape (what the model-side resize produced), which
@@ -543,7 +557,7 @@ def _xla_twin(lo, labels, s, loss_type, use_dice, ignore_index):
     del s
     hi = resize(lo, (labels.shape[1], labels.shape[2]))
     return L.criterion(hi, labels, ignore_index, use_dice=use_dice,
-                       loss_type=loss_type)
+                       loss_type=loss_type, class_weights=class_weights)
 
 
 def use_pallas_default() -> bool:
@@ -570,6 +584,7 @@ def lowres_criterion(
     use_dice: bool = True,
     loss_type: str = "ce",
     use_pallas: bool | None = None,
+    class_weights=None,
 ) -> Array:
     """criterion() over LOW-RES logits: fused upsample+loss on TPU when the
     shapes allow, the explicit resize->criterion composition elsewhere."""
@@ -578,14 +593,18 @@ def lowres_criterion(
     if use_pallas is None:
         use_pallas = use_pallas_default()
     s = hh // max(hl, 1)
+    key = loss_type.lower().replace("_", "")
+    # class weights ride the CE glue only; the reference never combines
+    # them with OHEM (engine.py criterion is plain CE) — fall back there
+    cw = tuple(float(x) for x in class_weights) if class_weights is not None \
+        else None
     ok = (
-        loss_type.lower().replace("_", "")
-        in ("ce", "crossentropy", "ohem", "ohemcrossentropy")
+        key in ("ce", "crossentropy", "ohem", "ohemcrossentropy")
+        and not (cw is not None and key in ("ohem", "ohemcrossentropy"))
         and _shape_gate_ok(logits_lo.shape, (hh, wh), use_pallas)
     )
     if ok:
-        return _fused_loss(logits_lo, labels, s,
-                           loss_type.lower().replace("_", ""), use_dice,
-                           ignore_index)
+        return _fused_loss(logits_lo, labels, s, key, use_dice,
+                           ignore_index, cw)
     return _xla_twin(logits_lo, labels, hh // hl if hl else 1,
-                     loss_type, use_dice, ignore_index)
+                     loss_type, use_dice, ignore_index, class_weights)

@@ -93,3 +93,34 @@ def test_tversky_dice_matches_reference(ref_losses):
                             delta=0.5)
     )
     assert abs(want - got) < 1e-4, (want, got)
+
+
+def test_weighted_binary_ce_matches_torch():
+    """The reference's binary hardcode (engine.py:28-31): CE class weights
+    [1.0, 2.0] with ignore_index — torch normalizes the mean by the sum of
+    per-pixel weights; ours must match."""
+    import torch
+
+    logits, labels = _inputs(c=2)
+    labels = np.where(labels == 255, 255, labels % 2)
+    lt, yt = _torch_pair(logits, labels)
+    want = float(torch.nn.functional.cross_entropy(
+        lt, yt, weight=torch.tensor([1.0, 2.0]), ignore_index=255))
+    got = float(L.cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), 255,
+        class_weights=(1.0, 2.0)))
+    assert abs(want - got) < 1e-5, (want, got)
+
+
+def test_criterion_binary_applies_reference_weights():
+    """compute_loss wires the [1, 2] weights exactly when C == 2."""
+    from segmentation_factory_tpu.engine.steps import compute_loss
+
+    logits, labels = _inputs(c=2, with_ignore=False)
+    labels = labels % 2
+    lj, yj = jnp.asarray(logits), jnp.asarray(labels)
+    got = float(compute_loss(lj, yj, 255, "ce", False))
+    want = float(L.cross_entropy(lj, yj, 255, class_weights=(1.0, 2.0)))
+    unweighted = float(L.cross_entropy(lj, yj, 255))
+    assert abs(got - want) < 1e-6
+    assert abs(got - unweighted) > 1e-4  # weights actually change the loss

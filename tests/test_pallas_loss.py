@@ -165,3 +165,32 @@ def test_resize_argmax_fallback_same_shape():
 
     want = jnp.argmax(resize(lo, (HL * 3, WL * 3)), axis=-1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_binary_class_weights():
+    """The binary [1,2] CE weights (ref engine.py:28-31) ride the fused
+    path's glue: scalar + grads must match the weighted unfused
+    composition."""
+    rng = np.random.default_rng(9)
+    lo = jnp.asarray(rng.normal(size=(2, 8, 16, 2)) * 2.0, jnp.float32)
+    lab = rng.integers(0, 2, (2, 8 * S, 16 * S))
+    lab = jnp.asarray(
+        np.where(rng.random(lab.shape) < 0.2, IGN, lab), jnp.int32
+    )
+    cw = (1.0, 2.0)
+
+    def fused(x):
+        return PL._fused_loss(x, lab, S, "ce", True, IGN, cw)
+
+    def ref(x):
+        return PL._xla_twin(x, lab, S, "ce", True, IGN, cw)
+
+    with pltpu.force_tpu_interpret_mode():
+        np.testing.assert_allclose(
+            float(fused(lo)), float(ref(lo)), rtol=1e-5, atol=1e-6
+        )
+        gf = jax.grad(fused)(lo)
+    gr = jax.grad(ref)(lo)
+    np.testing.assert_allclose(
+        np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-6
+    )
