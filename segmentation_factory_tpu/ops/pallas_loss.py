@@ -59,15 +59,6 @@ def _phase_taps(s: int):
     return taps
 
 
-def _shift_rows(x, d):
-    """x shifted by d in axis 0 with edge-row clamp (d in {-1, 0, +1})."""
-    if d == 0:
-        return x
-    if d == -1:
-        return jnp.concatenate([x[:1], x[:-1]], axis=0)
-    return jnp.concatenate([x[1:], x[-1:]], axis=0)
-
-
 def _shift_lanes_clamp(x, d):
     """x shifted by d in the last axis with edge clamp (d in {-1, 0, +1})."""
     if d == 0:
