@@ -43,9 +43,18 @@ def compute_loss(
         )
     # binary datasets get the reference's hardcoded CE class weights
     # [background 1.0, object 2.0] (ref engine.py:28-31, its own TODO
-    # acknowledges the hardcode); multi-class stays unweighted
+    # acknowledges the hardcode). Scope: the reference's engine criterion
+    # is always plain CE(+dice), so the weights exist only for the
+    # CE-family here too — other loss types (ohem/focal/dicebce) have no
+    # reference weighting semantics and stay unweighted (and keep their
+    # fused path)
     first = logits[0] if isinstance(logits, (tuple, list)) else logits
-    cw = (1.0, 2.0) if first.shape[-1] == 2 else None
+    cw = (
+        (1.0, 2.0)
+        if first.shape[-1] == 2
+        and loss_type.lower().replace("_", "") in ("ce", "crossentropy")
+        else None
+    )
     if isinstance(logits, (tuple, list)):
         total = jnp.zeros((), jnp.float32)
         weights = AUX_WEIGHTS.get(loss_type, _AUX_DEFAULT)

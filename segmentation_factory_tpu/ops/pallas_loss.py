@@ -365,10 +365,6 @@ def _shape_gate_ok(lo_shape, out_hw, use_pallas: bool) -> bool:
     )
 
 
-def _argmax_gate_ok(lo_shape, out_hw, use_pallas: bool) -> bool:
-    return _shape_gate_ok(lo_shape, out_hw, use_pallas)
-
-
 def resize_argmax_to(lo: Array, out_hw, use_pallas: bool | None = None):
     """argmax(resize(lo, out_hw)) — fused when out_hw is a dyadic multiple.
 
@@ -586,12 +582,23 @@ def lowres_criterion(
     s = hh // max(hl, 1)
     key = loss_type.lower().replace("_", "")
     # class weights ride the CE glue only; the reference never combines
-    # them with OHEM (engine.py criterion is plain CE) — fall back there
-    cw = tuple(float(x) for x in class_weights) if class_weights is not None \
-        else None
+    # them with OHEM (engine.py criterion is plain CE) — fall back there.
+    # Traced (non-concrete) weight arrays also fall back: the fused VJP
+    # needs them static.
+    cw = None
+    cw_fusable = class_weights is None
+    if class_weights is not None and key in ("ce", "crossentropy"):
+        try:
+            cw = tuple(float(x) for x in class_weights)
+            cw_fusable = True
+        except (TypeError, jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            cw_fusable = False
     ok = (
         key in ("ce", "crossentropy", "ohem", "ohemcrossentropy")
-        and not (cw is not None and key in ("ohem", "ohemcrossentropy"))
+        and cw_fusable
+        and not (class_weights is not None
+                 and key in ("ohem", "ohemcrossentropy"))
         and _shape_gate_ok(logits_lo.shape, (hh, wh), use_pallas)
     )
     if ok:

@@ -148,7 +148,7 @@ def test_resize_argmax_fused_matches_interpret():
     # the kernel path was taken, not the fallback comparing to itself
     rng = np.random.default_rng(7)
     lo = jnp.asarray(rng.normal(size=(1, 16, 128, C)) * 2.0, jnp.float32)
-    assert PL._argmax_gate_ok(lo.shape, (16 * S, 128 * S), True)
+    assert PL._shape_gate_ok(lo.shape, (16 * S, 128 * S), True)
     with pltpu.force_tpu_interpret_mode():
         got = PL.resize_argmax_to(lo, (16 * S, 128 * S), use_pallas=True)
     from segmentation_factory_tpu.models.layers import resize

@@ -1,5 +1,6 @@
 """Compiled-TPU parity check for ALL Pallas kernels (fwd + bwd):
-SRA attention, fused MixFFN, and the multi-level resize+sum.
+SRA attention, fused MixFFN, the multi-level resize+sum, the fused
+upsample+CE/OHEM+dice loss, and the fused upsample+argmax.
 
 The pytest suite pins JAX to CPU (8 virtual devices), so Pallas kernels are
 only interpret-checked there. This script runs the REAL compiled kernels on
