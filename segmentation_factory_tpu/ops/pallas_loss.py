@@ -192,9 +192,18 @@ def _bwd_kernel(s, ignore_index, lo_ref, lop_ref, lon_ref, lab_ref,
         gm = g[:, m]  # (TS, Cp, W)
         # fwd: out[s*t+m] = w_lo*src_ext[1+d+t] + w_hi*src_ext[2+d+t]
         for start, wgt in ((1 + d, w_lo), (2 + d, w_hi)):
-            pad0 = jnp.zeros((start, cp, wl), jnp.float32)
-            pad1 = jnp.zeros((ts + 2 - start - ts, cp, wl), jnp.float32)
-            dext = dext + jnp.concatenate([pad0, gm * wgt, pad1], axis=0)
+            # start in {0, 1, 2}; skip zero-size pads — Mosaic rejects
+            # zero-size vector broadcasts (jnp.zeros((0, ...)) lowers fine
+            # in interpret mode but fails pallas_call TPU compilation)
+            parts = []
+            if start > 0:
+                parts.append(jnp.zeros((start, cp, wl), jnp.float32))
+            parts.append(gm * wgt)
+            if 2 - start > 0:
+                parts.append(jnp.zeros((2 - start, cp, wl), jnp.float32))
+            dext = dext + (
+                jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            )
     dlo_ref[0] = dext[1 : ts + 1].astype(dlo_ref.dtype)
     halo_ref[0, 0] = dext[0].astype(halo_ref.dtype)
     halo_ref[0, 1] = dext[ts + 1].astype(halo_ref.dtype)
@@ -552,11 +561,10 @@ def use_pallas_default() -> bool:
         "SFT_NO_PALLAS_LOSS"
     ):
         return False
-    # Mosaic-compilation of these kernels has not yet been validated on
-    # real hardware (the TPU worker was down when they landed): opt-in via
-    # SFT_PALLAS_V2=1 until tools/tpu_parity_check.py has run on-chip,
-    # then flip the default. Interpret-mode parity is fully covered.
-    if not os.environ.get("SFT_PALLAS_V2"):
+    # Mosaic-validated on hardware (TPU v5e, tools/tpu_parity_check.py —
+    # TPU_PARITY.txt: CE/OHEM scalar + grad parity to ~1e-7, argmax exact),
+    # so on by default; SFT_PALLAS_V2=0 is the explicit opt-out.
+    if os.environ.get("SFT_PALLAS_V2", "1") == "0":
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -207,11 +207,10 @@ def use_pallas_default() -> bool:
         "SFT_NO_PALLAS_RESIZE"
     ):
         return False
-    # Mosaic-compilation of this kernel has not yet been validated on real
-    # hardware (the TPU worker was down when it landed): opt-in via
-    # SFT_PALLAS_V2=1 until tools/tpu_parity_check.py has run on-chip,
-    # then flip the default. Interpret-mode parity is fully covered.
-    if not os.environ.get("SFT_PALLAS_V2"):
+    # Mosaic-validated on hardware (TPU v5e, tools/tpu_parity_check.py —
+    # TPU_PARITY.txt: fwd/bwd parity to ~1e-7 f32), so on by default;
+    # SFT_PALLAS_V2=0 is the explicit opt-out.
+    if os.environ.get("SFT_PALLAS_V2", "1") == "0":
         return False
     try:
         return jax.default_backend() == "tpu"

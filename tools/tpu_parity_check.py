@@ -61,27 +61,36 @@ def check_ffn():
 
             got = jax.jit(lambda *a: F.mixffn_apply(*a, use_pallas=True))(*args)
             want = jax.jit(lambda *a: F.mixffn_apply(*a, use_pallas=False))(*args)
-            fwd_err = _rel(got, want)
             gf = jax.jit(jax.grad(loss_f, argnums=tuple(range(7))))(*args)
             gr = jax.jit(jax.grad(loss_r, argnums=tuple(range(7))))(*args)
-            # ground truth: fp32 XLA grads on CPU. In bf16 the XLA fallback's
-            # BIAS grads are far noisier than the kernel (bf16 chain
-            # reductions over b*h*w cotangents vs the kernel's f32 grid
-            # accumulators), so fused-vs-fallback is not a valid yardstick —
-            # judge each side against fp32 truth instead.
+            # ground truth for BOTH directions: fp32 XLA on CPU. On TPU,
+            # f32 matmuls round through MXU bf16 passes in BOTH
+            # implementations (measured: fused 3.10e-3 vs truth, XLA-on-TPU
+            # 3.27e-3 vs truth, 2.7e-3 apart from each other), and in bf16
+            # the fallback's bias grads are noisier than the kernel's f32
+            # grid accumulators — so fused-vs-fallback is not a valid
+            # yardstick in either direction; judge each side against fp32
+            # truth and require the kernel to be within 4x of XLA's own
+            # rounding error.
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
                 a32 = [jnp.asarray(np.asarray(t), jnp.float32) for t in args]
+                fwd_t = jax.jit(lambda *a: F.mixffn_apply(
+                    *a, use_pallas=False))(*a32)
                 gt = jax.jit(jax.grad(loss_r, argnums=tuple(range(7))))(*a32)
+            fwd_fused = _rel(got, fwd_t)
+            fwd_xla = _rel(want, fwd_t)
             err_fused = max(_rel(a, t) for a, t in zip(gf, gt))
             err_xla = max(_rel(a, t) for a, t in zip(gr, gt))
             status = (
-                "OK" if fwd_err < tol and err_fused < max(4 * err_xla, tol)
+                "OK" if fwd_fused < max(4 * fwd_xla, tol)
+                and err_fused < max(4 * err_xla, tol)
                 else "FAIL"
             )
             print(
                 f"{np.dtype(dtype).name:>9} b={b} h={h:>3} w={w:>3} c={c:>3}"
-                f" hc={hc:>4}  fwd_rel={fwd_err:.3e}"
+                f" hc={hc:>4}  fwd_vs_f32: fused={fwd_fused:.3e}"
+                f" xla={fwd_xla:.3e}"
                 f"  bwd_vs_f32: fused={err_fused:.3e} xla={err_xla:.3e}"
                 f"  {status}"
             )
