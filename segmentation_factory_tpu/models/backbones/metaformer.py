@@ -324,3 +324,23 @@ def _make_metaformer(family: str, variant: str):
 for _fam, _vs in _VARIANTS.items():
     for _v in _vs:
         register_backbone(f"{_fam}_{_v}")(_make_metaformer(_fam, _v))
+
+# Pretrained-weight-tag factory aliases (ref metaformer.py:943-1551): the
+# reference registers one factory per ImageNet weight tag (_384, _in21ft1k,
+# _384_in21ft1k, _in21k) for every convformer/caformer size. Each is the
+# IDENTICAL architecture — only the pretrained URL differs — so they alias
+# the base factory here; they exist for checkpoint-name ergonomics
+# (`--backbone caformer_s18_384_in21ft1k` works on both frameworks).
+_WEIGHT_TAGS = ("384", "in21ft1k", "384_in21ft1k", "in21k")
+for _fam in _CONV_FAMILIES:
+    for _v in _VARIANTS[_fam]:
+        for _tag in _WEIGHT_TAGS:
+            if _fam == "caformer" and _v == "m36" and _tag == "in21k":
+                # the reference names this one `caformer_m364_in21k`
+                # (metaformer.py:1471 — a typo it ships with); register
+                # the reference's literal name so its checkpoints resolve
+                register_backbone("caformer_m364_in21k")(
+                    _make_metaformer(_fam, _v))
+                continue
+            register_backbone(f"{_fam}_{_v}_{_tag}")(
+                _make_metaformer(_fam, _v))

@@ -244,3 +244,27 @@ def test_randformer_torch_parity(ref_metaformer):
             np.asarray(fj), want.reshape(np.asarray(fj).shape),
             rtol=2e-3, atol=2e-3, err_msg=f"randformer stage {i}",
         )
+
+
+def test_weight_tag_aliases_build_identical_architecture():
+    """Pretrained-tag factory names (ref metaformer.py:943-1551) alias the base
+    architecture: `caformer_s18_384_in21ft1k` etc. must build the exact same
+    module config + channels as `caformer_s18` (only the torch pretrained URL
+    differed upstream). Includes the reference's literal `caformer_m364_in21k`
+    typo'd name (ref metaformer.py:1471)."""
+    from segmentation_factory_tpu.models.backbones.metaformer import (
+        _CONV_FAMILIES, _VARIANTS, _WEIGHT_TAGS,
+    )
+
+    for fam in _CONV_FAMILIES:
+        for v in _VARIANTS[fam]:
+            base_mod, base_ch = get_backbone(f"{fam}_{v}")
+            for tag in _WEIGHT_TAGS:
+                name = (
+                    "caformer_m364_in21k"
+                    if (fam, v, tag) == ("caformer", "m36", "in21k")
+                    else f"{fam}_{v}_{tag}"
+                )
+                mod, ch = get_backbone(name)
+                assert ch == base_ch, name
+                assert mod == base_mod, name  # flax dataclass field equality

@@ -46,4 +46,4 @@ def test_backbone_init_forward(name):
 
 def test_registry_size_floor():
     # the zoo should only grow; catch accidental deregistration
-    assert len(ALL_BACKBONES) >= 88, len(ALL_BACKBONES)
+    assert len(ALL_BACKBONES) >= 120, len(ALL_BACKBONES)
