@@ -347,8 +347,19 @@ class KvasirClinicDB(SegDataset):
     CLASSES = ("background", "polyp")
     PALETTE = np.asarray([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
 
-    def __init__(self, root: str, split: str = "train", val_frac: float = 0.2, seed: int = 0):
+    def __init__(self, root: str, split: str = "train", val_frac: float = 0.2,
+                 seed: int = 0, preset_recipe: bool = False):
         super().__init__()
+        if preset_recipe:
+            # the reference's *intended* (but dead-code) polyp preset,
+            # repaired — see transforms.kvasir_train_augment docstring
+            from .transforms import kvasir_train_augment
+
+            self.train_augment = (
+                lambda img, lbl, rng, out_hw: kvasir_train_augment(
+                    img, lbl, rng, out_hw, self.ignore_index
+                )
+            )
         pairs = []
         kv = os.path.join(root, "Kvasir-SEG")
         if os.path.isdir(kv):

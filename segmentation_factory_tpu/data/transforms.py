@@ -127,6 +127,51 @@ def synapse_train_augment(
     return np.ascontiguousarray(img), np.ascontiguousarray(lbl)
 
 
+def kvasir_train_augment(
+    img: np.ndarray,
+    lbl: np.ndarray,
+    rng: np.random.Generator,
+    out_hw: Tuple[int, int],
+    ignore_index: int = 255,
+):
+    """The Kvasir/ClinicDB polyp preset the reference *intends* (ref
+    datasets/kvasir.py:13-34): RandomResize(0.5-1.2 x base, short side) +
+    HFlip(p=.5) + VFlip(p=.5) + RandomCrop(crop, pad-if-needed).
+
+    The reference's own preset is dead code — ``SegmentationPresetTrain``
+    calls ``T.RandomResize``/``T.RandomCrop``/``T.ToTensor`` which do not
+    exist in datasets/extra_transform.py (only Ext*-prefixed variants do),
+    so constructing it raises AttributeError, and its call sites
+    (kvasir.py:174, :182) are commented out; the live path routes Kvasir
+    through the generic recipe (build_datasets.py:13-20). This function
+    repairs the intended recipe using torchvision-reference semantics
+    (short-side resize to a uniform int in [0.5*base, 1.2*base]); opt in
+    via ``KvasirClinicDB(preset_recipe=True)``. See PARITY.md.
+    """
+    crop = out_hw[0]
+    base = crop
+    short = int(rng.integers(int(0.5 * base), int(1.2 * base) + 1))
+    h, w = img.shape[:2]
+    scale = short / min(h, w)
+    img = _pil_resize(img, (max(1, int(w * scale)), max(1, int(h * scale))), nearest=False)
+    lbl = _pil_resize(lbl.astype(np.int32), (max(1, int(w * scale)), max(1, int(h * scale))), nearest=True).astype(np.int32)
+    if rng.random() < 0.5:  # hflip (preset hflip_prob=0.5)
+        img, lbl = img[:, ::-1], lbl[:, ::-1]
+    if rng.random() < 0.5:  # vflip (preset vflip_prob=0.5)
+        img, lbl = img[::-1], lbl[::-1]
+    # random crop, pad-if-needed (image 0, label ignore_index)
+    ph, pw = max(crop - img.shape[0], 0), max(crop - img.shape[1], 0)
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), constant_values=0)
+        lbl = np.pad(lbl, ((0, ph), (0, pw)), constant_values=ignore_index)
+    top = int(rng.integers(0, img.shape[0] - crop + 1))
+    left = int(rng.integers(0, img.shape[1] - crop + 1))
+    return (
+        np.ascontiguousarray(img[top : top + crop, left : left + crop]),
+        np.ascontiguousarray(lbl[top : top + crop, left : left + crop]),
+    )
+
+
 def resize_short_side(img: np.ndarray, lbl: np.ndarray, short: int, divisor: int = 32):
     """Scale so the short side == ``short``, then ceil both sides to /divisor
     (inference preprocessing; ref estimate_model.py:85-98)."""

@@ -34,7 +34,12 @@ def install_ref_stubs():
     misc = _stub("torchvision.ops.misc")
     misc.FrozenBatchNorm2d = tnn.BatchNorm2d
     _stub("torchvision.ops.boxes")
-    _stub("torchvision").ops = ops
+    tvf = _stub("torchvision.transforms.functional")
+    tvt = _stub("torchvision.transforms")
+    tvt.functional = tvf
+    tv = _stub("torchvision")
+    tv.ops = ops
+    tv.transforms = tvt
     _stub("MultiScaleDeformableAttention")
 
 

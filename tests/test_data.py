@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -199,3 +201,88 @@ def test_loader_uses_dataset_train_augment():
     b = next(iter(l))
     assert calls and calls[0] == (16, 16)
     assert b["image"].shape == (2, 16, 16, 3)
+
+
+def test_ref_kvasir_preset_is_dead_code():
+    """The reference's Kvasir preset (ref kvasir.py:13-45) names
+    T.RandomResize / T.RandomCrop / T.ToTensor / T.CenterCrop, none of which
+    exist in datasets/extra_transform.py (only Ext*-prefixed variants do), so
+    constructing either preset raises AttributeError — and its only call
+    sites (kvasir.py:174, :182) are commented out. The live path routes
+    Kvasir through the generic recipe (build_datasets.py:13-20). Our
+    repaired, executable version of the intended recipe is
+    transforms.kvasir_train_augment (see PARITY.md)."""
+    import sys
+    import types
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from _ref_stubs import install_ref_stubs, preload
+
+    install_ref_stubs()
+    # extra_transform.py imports timm.data.transforms._pil_interpolation_to_str
+    tt = types.ModuleType("timm.data.transforms")
+    tt._pil_interpolation_to_str = {}
+    td = sys.modules.get("timm.data") or types.ModuleType("timm.data")
+    td.transforms = tt
+    tm = sys.modules.get("timm") or types.ModuleType("timm")
+    tm.data = td
+    sys.modules.update({"timm": tm, "timm.data": td, "timm.data.transforms": tt})
+    # seed the 'datasets' parent so the real __init__ (which drags in
+    # torchvision.io-dependent files) never executes
+    pkg = types.ModuleType("datasets")
+    pkg.__path__ = []
+    sys.modules.setdefault("datasets", pkg)
+    preload("datasets.extra_transform", "/root/reference/datasets/extra_transform.py")
+    kv = preload("datasets.kvasir", "/root/reference/datasets/kvasir.py")
+
+    with pytest.raises(AttributeError):
+        kv.SegmentationPresetTrain(base_size=512, crop_size=512)
+    with pytest.raises(AttributeError):
+        kv.SegmentationPresetEval(img_size=512)
+
+
+def test_kvasir_preset_recipe_distribution():
+    """kvasir_train_augment implements the intended preset: short-side
+    RandomResize in [0.5*base, 1.2*base], hflip+vflip p=.5 each, random crop
+    with pad-if-needed. Static output shape; both flip orientations occur;
+    sub-crop resizes pad labels with ignore_index."""
+    from segmentation_factory_tpu.data.transforms import kvasir_train_augment
+
+    rng = np.random.default_rng(0)
+    img = (np.arange(300 * 400 * 3) % 255).reshape(300, 400, 3).astype(np.uint8)
+    lbl = np.zeros((300, 400), np.int32)
+    lbl[:150] = 1  # top-half class mass -> vflip detector
+    crop = 224
+    n, pad_seen, bottom_heavy = 200, 0, 0
+    for _ in range(n):
+        oi, ol = kvasir_train_augment(img, lbl, rng, (crop, crop), ignore_index=255)
+        assert oi.shape == (crop, crop, 3) and ol.shape == (crop, crop)
+        pad_seen += int((ol == 255).any())
+        valid = ol != 255
+        top = (ol[: crop // 2] == 1).sum()
+        bot = (ol[crop // 2 :] == 1).sum()
+        if valid.any() and top != bot:
+            bottom_heavy += int(bot > top)
+    # short side resized to U[112, 268]; short<224 => ignore padding: ~71%
+    assert 0.4 * n < pad_seen < 0.95 * n, pad_seen
+    # vflip p=.5 moves the class mass to the bottom about half the time
+    assert 0.2 * n < bottom_heavy < 0.8 * n, bottom_heavy
+    # determinism under a fixed seed
+    a = kvasir_train_augment(img, lbl, np.random.default_rng(7), (crop, crop))
+    b = kvasir_train_augment(img, lbl, np.random.default_rng(7), (crop, crop))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_kvasir_preset_routed_through_dataset(tmp_path):
+    from segmentation_factory_tpu.data.datasets import KvasirClinicDB
+
+    ds = KvasirClinicDB(str(tmp_path), preset_recipe=True)
+    aug = getattr(ds, "train_augment", None)
+    assert aug is not None
+    img = np.zeros((100, 80, 3), np.uint8)
+    lbl = np.zeros((100, 80), np.int32)
+    oi, ol = aug(img, lbl, np.random.default_rng(0), (64, 64))
+    assert oi.shape == (64, 64, 3) and ol.shape == (64, 64)
+    # default construction keeps the live-path generic recipe (no preset)
+    assert getattr(KvasirClinicDB(str(tmp_path)), "train_augment", None) is None
