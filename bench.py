@@ -65,6 +65,7 @@ formulation's FLOPs.
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import time
@@ -106,9 +107,22 @@ def _step_flops(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
+def _finite(obj):
+    """Recursively replace non-finite floats: json.dumps would emit bare
+    `Infinity`/`NaN` tokens, which are invalid strict JSON and would make
+    the driver's parse of our one output line fail."""
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else repr(obj)
+    if isinstance(obj, dict):
+        return {k: _finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite(v) for v in obj]
+    return obj
+
+
 def _emit(obj) -> None:
     """Progressive milestone line: parent keeps the LAST parseable one."""
-    print(json.dumps(obj), flush=True)
+    print(json.dumps(_finite(obj)), flush=True)
 
 
 def _fetch_rtt(scalar_on_device) -> float:
@@ -409,7 +423,10 @@ def preflight() -> dict:
 
     x = jnp.full((256, 256), 0.001, jnp.bfloat16)
     fc = f.lower(x).compile()
-    v = float(fc(x))
+    # tanh keeps the fetched scalar finite (the bf16 chain overflows to inf,
+    # and json.dumps would emit a bare `Infinity` token — invalid strict
+    # JSON — inside the final line the driver parses)
+    v = float(math.tanh(float(fc(x))))
     rtt = _fetch_rtt(fc(x))
     return {
         "ok": True,
@@ -581,16 +598,16 @@ def main():
         vs = (flagship["peak_tflops"] / A100_PEAK_TFLOPS) * (
             ref_flops / flagship["flops_per_step"])
     else:
-        print(json.dumps({
+        print(json.dumps(_finite({
             "metric": "bench_failed", "value": 0.0, "unit": "n/a",
             "vs_baseline": 0.0, "backend_up": backend_up,
             "details": results,
-        }))
+        })))
         return
 
     if value > flagship.get("roofline_images_per_sec", value) + 1e-6:
         metric, value = "bench_implausible", 0.0
-    print(json.dumps({
+    print(json.dumps(_finite({
         "metric": metric,
         "value": round(value, 2),
         "unit": unit,
@@ -599,7 +616,7 @@ def main():
         "preflight": pf,
         "wall_sec": round(time.perf_counter() - t_start, 1),
         "details": results,
-    }))
+    })))
 
 
 if __name__ == "__main__":
@@ -607,11 +624,11 @@ if __name__ == "__main__":
 
     if len(sys.argv) == 2 and sys.argv[1] == "--preflight":
         try:
-            print(json.dumps(preflight()), flush=True)
+            print(json.dumps(_finite(preflight())), flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"ok": False, "error": str(e)[:200]}),
                   flush=True)
     elif len(sys.argv) == 3 and sys.argv[1] == "--config":
-        print(json.dumps(run_one(sys.argv[2])), flush=True)
+        print(json.dumps(_finite(run_one(sys.argv[2]))), flush=True)
     else:
         main()

@@ -96,6 +96,91 @@ def export_savedmodel(
     return out_dir
 
 
+class OnnxToolchainUnavailable(RuntimeError):
+    """Raised when the .onnx container step cannot run in this environment.
+
+    The reference's pipeline emits an actual .onnx file
+    (onnx_export.py:105-113) and validates it with onnxruntime
+    (onnx_validate.py:99-156). On this TPU image neither `onnx`,
+    `onnxruntime` nor `tf2onnx` is installed (and installs are
+    disallowed), so the supported flow is: export_savedmodel() here, then
+    offline `python -m tf2onnx.convert --saved-model <dir> --output m.onnx`
+    on any machine with the toolchain. export_onnx() below runs that exact
+    conversion whenever tf2onnx IS importable, and the gated test
+    tests/test_infer_export.py::test_onnx_roundtrip validates the full
+    SavedModel -> .onnx -> onnxruntime logit parity in such environments.
+    See PARITY.md "ONNX container" for the documented negative.
+    """
+
+
+def export_onnx(
+    model,
+    variables,
+    img_size: int,
+    out_path: str,
+    dynamic_batch: bool = True,
+    batch: int = 1,
+    opset: int = 17,
+):
+    """SavedModel -> .onnx via tf2onnx (ref onnx_export.py:105-113).
+
+    Completes the reference's ONNX pipeline end-to-end when the toolchain
+    is present; raises :class:`OnnxToolchainUnavailable` (with the offline
+    recipe) when it is not. The SavedModel signature contract that tf2onnx
+    consumes (a `serving_default` with one float32 [None,H,W,3] input) is
+    tested unconditionally in test_savedmodel_onnx_signature_contract.
+    """
+    try:
+        from tf2onnx import convert as tf2onnx_convert  # noqa: F401
+    except ImportError as e:
+        raise OnnxToolchainUnavailable(
+            "tf2onnx/onnx are not installed in this environment; export a "
+            "SavedModel with export_savedmodel() and convert offline with "
+            "`python -m tf2onnx.convert --saved-model <dir> --output "
+            f"{out_path}` (opset>={opset})."
+        ) from e
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        sm_dir = os.path.join(td, "sm")
+        export_savedmodel(model, variables, img_size, sm_dir,
+                          dynamic_batch=dynamic_batch, batch=batch)
+        from tf2onnx import tf_loader
+        graph_def, inputs, outputs = tf_loader.from_saved_model(
+            sm_dir, None, None, signatures=["serving_default"])
+        import tf2onnx
+        model_proto, _ = tf2onnx.convert.from_graph_def(
+            graph_def, input_names=inputs, output_names=outputs,
+            opset=opset, output_path=out_path)
+    return model_proto
+
+
+def validate_onnx(
+    model, variables, onnx_path: str, img_size: int, batch: int = 2,
+    atol: float = 5e-2,
+) -> Tuple[bool, float]:
+    """onnxruntime logit parity vs the live jax model (ref
+    onnx_validate.py:99-156's assert_almost_equal, tolerance widened for
+    bf16-vs-ORT-fp32 accumulation order)."""
+    try:
+        import onnxruntime as ort
+    except ImportError as e:
+        raise OnnxToolchainUnavailable(
+            "onnxruntime is not installed; validate offline."
+        ) from e
+
+    x = np.random.default_rng(0).normal(
+        size=(batch, img_size, img_size, 3)).astype(np.float32)
+    live = np.asarray(model.apply(variables, jnp.asarray(x), train=False),
+                      np.float32)
+    sess = ort.InferenceSession(onnx_path, providers=["CPUExecutionProvider"])
+    (in_name,) = [i.name for i in sess.get_inputs()]
+    (got,) = sess.run(None, {in_name: x})
+    diff = float(np.max(np.abs(live - np.asarray(got, np.float32))))
+    return bool(diff <= atol), diff
+
+
 def validate_savedmodel(
     model, variables, out_dir: str, img_size: int, batch: int = 2,
     atol: float = 5e-2,
