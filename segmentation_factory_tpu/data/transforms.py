@@ -182,6 +182,24 @@ def resize_short_side(img: np.ndarray, lbl: np.ndarray, short: int, divisor: int
     return resize_pair(img, lbl, (nh, nw))
 
 
+def draw_scale_crop_params(
+    rng: np.random.Generator,
+    h: int,
+    w: int,
+    crop: int,
+    scale_range: Tuple[float, float] = (0.5, 2.0),
+) -> Tuple[float, int, int]:
+    """The (scale, top, left) draws of random_scale_crop's native path, as a
+    shared helper so the Loader's batched fast path (one C++ call per batch,
+    pipeline.py) consumes the SAME per-sample rng stream — batches are
+    bit-identical whichever path runs."""
+    scale = rng.uniform(*scale_range)
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    top = int(rng.integers(0, max(nh - crop, 0) + 1))
+    left = int(rng.integers(0, max(nw - crop, 0) + 1))
+    return scale, top, left
+
+
 def random_scale_crop(
     img: np.ndarray,
     lbl: np.ndarray,
@@ -199,14 +217,12 @@ def random_scale_crop(
     """
     rng = rng or np.random.default_rng()
     h, w = img.shape[:2]
-    scale = rng.uniform(*scale_range)
     if use_native:
         from segmentation_factory_tpu import native
 
         if native.available():
-            nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
-            top = int(rng.integers(0, max(nh - crop, 0) + 1))
-            left = int(rng.integers(0, max(nw - crop, 0) + 1))
+            scale, top, left = draw_scale_crop_params(
+                rng, h, w, crop, scale_range)
             oi, ol = native.batch_scale_crop(
                 img[None], lbl[None].astype(np.int32),
                 np.asarray([scale], np.float32),
@@ -214,6 +230,7 @@ def random_scale_crop(
                 crop, ignore_index, num_threads=1,
             )
             return oi[0], ol[0]
+    scale = rng.uniform(*scale_range)
     nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
     img = _pil_resize(img, (nw, nh), nearest=False)
     lbl = _pil_resize(lbl.astype(np.int32), (nw, nh), nearest=True).astype(np.int32)

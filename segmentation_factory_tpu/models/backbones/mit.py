@@ -21,10 +21,13 @@ import jax
 import jax.numpy as jnp
 
 from segmentation_factory_tpu.models.layers import (
+    ConvParams as _ConvParams,
     DenseParams as _DenseParams,
     DropPath,
     DWConvParams as _DWConvParams,
+    LNParams as _LNParams,
     drop_path_rates,
+    ln_apply,
 )
 from segmentation_factory_tpu.registry import register_backbone
 
@@ -55,38 +58,69 @@ class SRAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):  # x: (B, H, W, C)
+    def __call__(self, x, ln=None, factor=None):
+        """x: (B, H, W, C).
+
+        Classic path (``ln is None``): x is the normalized block input,
+        returns the attention branch output (ref mit.py:40-59).
+
+        Fused half-block path (``ln = (norm1_scale, norm1_bias)``): x is the
+        RAW block input; LN1 runs inside the Pallas kernel and the drop-path
+        residual (per-sample ``factor``) is folded in — returns
+        ``x + factor * proj(attn(LN1(x)))`` with one HBM read and one write
+        of the activation (ops/pallas_block.py). Params are declared raw so
+        both paths share one tree (q/sr/sr_norm/kv/proj, exactly the
+        nn.Dense/nn.Conv/nn.LayerNorm layout)."""
         b, h, w, c = x.shape
         n = h * w
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
+        dt = self.dtype or x.dtype
 
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x).reshape(
+        wq, bq = _DenseParams(c, self.dim, name="q")()
+        if self.sr_ratio > 1:
+            sk, sb = _ConvParams(self.sr_ratio, c, self.dim, name="sr")()
+            sg, sbeta = _LNParams(self.dim, name="sr_norm")()
+        wkv, bkv = _DenseParams(self.dim, self.dim * 2, name="kv")()
+        wo, bo = _DenseParams(self.dim, self.dim, name="proj")()
+
+        # KV path (always XLA: reduces the whole image to (M, 2C), tiny)
+        y = x if ln is None else ln_apply(x, ln[0], ln[1]).astype(dt)
+        kv_in = y
+        if self.sr_ratio > 1:
+            kv_in = jax.lax.conv_general_dilated(
+                y, sk.astype(dt),
+                (self.sr_ratio, self.sr_ratio),
+                "VALID",  # torch Conv2d(padding=0): floor-drops edge pixels
+                # at non-/32 sizes (flax SAME would zero-pad instead)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + sb.astype(dt)
+            kv_in = ln_apply(kv_in, sg, sbeta).astype(dt)
+        m = kv_in.shape[1] * kv_in.shape[2]
+        kv = kv_in.reshape(b, m, c) @ wkv.astype(dt) + bkv.astype(dt)
+
+        if ln is not None:
+            from segmentation_factory_tpu.ops.pallas_block import (
+                attn_block_apply,
+            )
+
+            return attn_block_apply(
+                x, kv[..., : self.dim], kv[..., self.dim :], ln[0], ln[1],
+                wq, bq, wo, bo, factor, self.num_heads, scale,
+            )
+
+        q = (y.reshape(b, n, c) @ wq.astype(dt) + bq.astype(dt)).reshape(
             b, n, self.num_heads, head_dim
         )
-        kv_in = x
-        if self.sr_ratio > 1:
-            kv_in = nn.Conv(
-                self.dim,
-                (self.sr_ratio, self.sr_ratio),
-                strides=(self.sr_ratio, self.sr_ratio),
-                padding="VALID",  # torch Conv2d(padding=0): floor-drops edge
-                # pixels at non-/32 sizes (flax SAME would zero-pad instead)
-                dtype=self.dtype,
-                name="sr",
-            )(x)
-            kv_in = nn.LayerNorm(dtype=self.dtype, name="sr_norm")(kv_in)
-        m = kv_in.shape[1] * kv_in.shape[2]
-        kv = nn.Dense(self.dim * 2, dtype=self.dtype, name="kv")(kv_in).reshape(
-            b, m, 2, self.num_heads, head_dim
-        )
-        k, v = kv[:, :, 0], kv[:, :, 1]
+        kv5 = kv.reshape(b, m, 2, self.num_heads, head_dim)
+        k, v = kv5[:, :, 0], kv5[:, :, 1]
 
         # fused Pallas path on TPU (ops/pallas_attention.py), einsum elsewhere
         from segmentation_factory_tpu.ops.pallas_attention import sra_attention
 
-        out = sra_attention(q, k, v, scale).reshape(b, h, w, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = sra_attention(q, k, v, scale).reshape(b, n, self.dim)
+        out = out @ wo.astype(dt) + bo.astype(dt)
+        return out.reshape(b, h, w, self.dim)
 
 
 class MixFFN(nn.Module):
@@ -102,7 +136,7 @@ class MixFFN(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
+    def __call__(self, x, ln=None, factor=None):  # (B, H, W, C)
         from segmentation_factory_tpu.ops.pallas_ffn import (
             mixffn_apply,
             use_pallas_default,
@@ -118,6 +152,17 @@ class MixFFN(nn.Module):
         w2, b2 = _DenseParams(self.hidden, c, name="fc2")()
         dt = self.dtype or x.dtype
         x = x.astype(dt)
+
+        if ln is not None:
+            # fused half-block path: x is the RAW input; LN2 + drop-path
+            # residual run inside the kernel (ops/pallas_block.py)
+            from segmentation_factory_tpu.ops.pallas_block import (
+                ffn_block_apply,
+            )
+
+            return ffn_block_apply(
+                x, ln[0], ln[1], w1, b1, dwk, dwb, w2, b2, factor,
+            )
 
         if use_pallas_default() and not tp_mesh_active():
             return mixffn_apply(
@@ -148,19 +193,61 @@ class MiTBlock(nn.Module):
     drop_path: float = 0.0
     dtype: Any = None
 
+    def _dp_factor(self, bsz: int, deterministic: bool):
+        """Per-sample drop-path factor (mask / keep_prob, or 1.0 in eval) —
+        exactly layers.DropPath's semantics, as a scalar the fused kernels
+        multiply the branch by before the residual add."""
+        if self.drop_path == 0.0 or deterministic:
+            return jnp.ones((bsz,), jnp.float32)
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("droppath"), keep, (bsz,))
+        return mask.astype(jnp.float32) / keep
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from segmentation_factory_tpu.ops.pallas_block import use_pallas_block
+        from segmentation_factory_tpu.parallel.mesh import tp_mesh_active
+
+        g1, be1 = _LNParams(self.dim, name="norm1")()
+        g2, be2 = _LNParams(self.dim, name="norm2")()
+        attn = SRAttention(
+            self.dim, self.num_heads, self.sr_ratio, dtype=self.dtype
+        )
+        ffn = MixFFN(self.dim * 4, dtype=self.dtype)
+        dt = self.dtype or x.dtype
+
+        # c >= 512 (MiT stage 4): fused half-blocks measured 0.95x on v5e —
+        # the wide-dim stage already runs at ~100 TFLOP/s through the r3
+        # path (XLA glue + SRA/MixFFN kernels, PERF.md); keep it there.
+        if use_pallas_block() and not tp_mesh_active() and self.dim < 512:
+            bsz = x.shape[0]
+            x = attn(x, ln=(g1, be1),
+                     factor=self._dp_factor(bsz, deterministic))
+            return ffn(x, ln=(g2, be2),
+                       factor=self._dp_factor(bsz, deterministic))
+
         dp = DropPath(self.drop_path)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        y = SRAttention(self.dim, self.num_heads, self.sr_ratio, dtype=self.dtype)(y)
+        y = ln_apply(x, g1, be1).astype(dt)
+        y = attn(y)
         x = x + dp(y, deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = MixFFN(self.dim * 4, dtype=self.dtype)(y)
+        y = ln_apply(x, g2, be2).astype(dt)
+        y = ffn(y)
         return x + dp(y, deterministic)
 
 
 class OverlapPatchEmbed(nn.Module):
-    """Overlapping patch embed: k x k conv stride s, SAME-ish pad, LN (ref :102-131)."""
+    """Overlapping patch embed: k x k conv stride s, SAME-ish pad, LN (ref :102-131).
+
+    On TPU the 7x7/s4 stem runs as space-to-depth-4 + 2x2/s1 conv: the C=3
+    input wastes the 128-lane MXU (profiled ~1.2 TFLOP/s, PERF.md), while
+    the s2d view contracts over 48 channels. The (7,7,C,D) parameter is
+    transformed at trace time by a pad+reshape+transpose (value-exact:
+    o[i,j] = sum_{u,v} W[u+3,v+3] x[4i+u,4j+v] with rows regrouped as
+    4*bi+dr, one zero row/col padding W to 8x8) — the param tree keeps the
+    nn.Conv layout for converters. Measured on v5e: stem fwd+bwd 4.44 ->
+    2.71 ms at 512^2 b8 (the r3 attempt was 1.4x SLOWER because it
+    re-embedded the kernel per step through a scatter; the pad+reshape
+    form fuses away)."""
 
     dim: int
     patch: int
@@ -169,15 +256,45 @@ class OverlapPatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from segmentation_factory_tpu.ops.pallas_block import use_pallas_block
+
         p = self.patch // 2
-        x = nn.Conv(
-            self.dim,
-            (self.patch, self.patch),
-            strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            dtype=self.dtype,
-        )(x)
-        return nn.LayerNorm(dtype=self.dtype)(x)
+        c = x.shape[-1]
+        k, b = _ConvParams(self.patch, c, self.dim, name="Conv_0")()
+        gl, bl = _LNParams(self.dim, name="LayerNorm_0")()
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)  # nn.Conv(dtype=...) promoted its input likewise
+        use_s2d = (
+            self.patch == 7
+            and self.stride == 4
+            and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0
+            and use_pallas_block()
+        )
+        if use_s2d:
+            wp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (8, 8, C, D)
+            k2 = (
+                wp.reshape(2, 4, 2, 4, c, self.dim)
+                .transpose(0, 2, 1, 3, 4, 5)
+                .reshape(2, 2, 16 * c, self.dim)
+            )
+            bsz, h, w, _ = x.shape
+            xv = (
+                x.reshape(bsz, h // 4, 4, w // 4, 4, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(bsz, h // 4, w // 4, 16 * c)
+            )
+            y = jax.lax.conv_general_dilated(
+                xv, k2.astype(dt), (1, 1), [(1, 0), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b.astype(dt)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k.astype(dt),
+                (self.stride, self.stride), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b.astype(dt)
+        return ln_apply(y, gl, bl).astype(dt)
 
 
 class MiT(nn.Module):

@@ -1,9 +1,12 @@
 from segmentation_factory_tpu.models.layers.act import ACTIVATIONS, build_act  # noqa: F401
 from segmentation_factory_tpu.models.layers.common import (  # noqa: F401
     ConvModule,
+    ConvParams,
     DenseParams,
     DWConvParams,
     DropPath,
+    LNParams,
+    ln_apply,
     Mlp,
     SqueezeExcite,
     drop_path_rates,

@@ -142,6 +142,51 @@ class DWConvParams(nn.Module):
         return k, b
 
 
+class LNParams(nn.Module):
+    """Raw LayerNorm scale+bias with nn.LayerNorm's exact param tree —
+    for fused call sites that apply the normalization themselves (the
+    Pallas MiT block kernels) while staying checkpoint-compatible."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.ch,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.ch,))
+        return s, b
+
+
+class ConvParams(nn.Module):
+    """Raw square-conv kernel+bias with nn.Conv's exact param tree."""
+
+    ksize: int
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.ksize, self.ksize, self.in_ch, self.out_ch),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.out_ch,))
+        return k, b
+
+
+def ln_apply(x: Array, scale: Array, bias: Array, eps: float = 1e-6) -> Array:
+    """nn.LayerNorm's exact math on raw params: stats in float32 with the
+    fast-variance formula (E[x^2] - E[x]^2, clipped at 0), scale/bias applied
+    in float32, result returned in float32 (callers cast to their compute
+    dtype, matching nn.LayerNorm(dtype=...)'s final cast).
+    Parity: tests/test_pallas_block.py::test_ln_apply_matches_flax."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
 class Mlp(nn.Module):
     """Transformer FFN: Dense -> act -> Dense, optional dropout."""
 

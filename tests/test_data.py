@@ -286,3 +286,34 @@ def test_kvasir_preset_routed_through_dataset(tmp_path):
     assert oi.shape == (64, 64, 3) and ol.shape == (64, 64)
     # default construction keeps the live-path generic recipe (no preset)
     assert getattr(KvasirClinicDB(str(tmp_path)), "train_augment", None) is None
+
+
+def test_fused_batch_path_bit_identical():
+    """The Loader's batched C++ fast path (one batch_scale_crop per batch)
+    must produce exactly the per-sample path's batches: both consume the
+    same per-sample rng stream (draw_scale_crop_params)."""
+    from segmentation_factory_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native engine not built")
+    ds = Synthetic(num_classes=4, size=48, length=8)
+    loader = Loader(ds, 4, 32, train=True, seed=7, num_workers=2,
+                    shard_id=0, num_shards=1)
+    fused = [dict(b) for b in loader]  # default path: _load_batch_fused
+
+    idx, _ = loader._indices()
+    base = loader.seed * 7919 + loader.epoch * 104729
+    per_sample = []
+    for bi in range(len(idx) // 4):
+        chunk = idx[bi * 4 : bi * 4 + 4]
+        rs = [loader._load_one(int(i), base + int(i)) for i in chunk]
+        per_sample.append({
+            "image": np.stack([r[0] for r in rs]),
+            "label": np.stack([r[1] for r in rs]),
+        })
+    assert len(fused) == len(per_sample)
+    for bf, bp in zip(fused, per_sample):
+        np.testing.assert_array_equal(bf["image"], bp["image"])
+        np.testing.assert_array_equal(bf["label"], bp["label"])

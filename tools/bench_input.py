@@ -41,13 +41,89 @@ def _pil_scale_crop(img, lbl, scale, top, left, crop, ignore_index=255):
     return oi, ol
 
 
+class _SynthDataset:
+    """In-memory SegDataset stand-in at a given source resolution: decode
+    cost is excluded on purpose (dataset files aren't on this box), so the
+    number measures the transform+collate+prefetch machinery itself."""
+
+    ignore_index = 255
+
+    def __init__(self, n, size, seed=0):
+        rng = np.random.default_rng(seed)
+        # 8 distinct canvases cycled (keeps RSS bounded at 2048^2 sources)
+        self._imgs = rng.integers(0, 255, (min(n, 8), size, size, 3), np.uint8)
+        self._lbls = rng.integers(0, 19, (min(n, 8), size, size), np.int32)
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def load(self, i):
+        j = i % len(self._imgs)
+        return self._imgs[j], self._lbls[j]
+
+
+def bench_e2e(args):
+    """Assembled Loader + prefetch_to_device end-to-end throughput
+    (VERDICT r3 item 5): max drain rate, plus headroom vs a paced consumer
+    at --target-rate img/s (a sleep-step standing in for the train step)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from segmentation_factory_tpu.data.pipeline import (
+        Loader,
+        prefetch_to_device,
+    )
+
+    ds = _SynthDataset(args.iters * args.batch, args.size)
+    out = {"mode": "e2e", "size": args.size, "batch": args.batch,
+           "crop": args.crop, "workers": args.workers}
+
+    def run(step_sleep):
+        loader = Loader(ds, args.batch, args.crop, train=True,
+                        num_workers=args.workers, shard_id=0, num_shards=1)
+        it = prefetch_to_device(iter(loader))
+        first = next(it)  # warm the pool + prefetch depth
+        jax.block_until_ready(first)
+        n = 0
+        t0 = time.perf_counter()
+        for batch in it:
+            jax.block_until_ready(batch)
+            n += batch["image"].shape[0]
+            if step_sleep:
+                time.sleep(step_sleep)
+        dt = time.perf_counter() - t0
+        if step_sleep:
+            dt -= (n // args.batch) * step_sleep  # charge only pipeline time
+        return n / max(dt, 1e-9)
+
+    out["max_images_per_sec"] = round(run(0.0), 1)
+    if args.target_rate:
+        # paced consumer: does the pipeline hide under a step running at the
+        # target rate? stall_free means residual pipeline time per batch
+        # stayed under the step time (>=2x headroom required by VERDICT #5).
+        paced = run(args.batch / args.target_rate)
+        out["target_rate"] = args.target_rate
+        out["paced_residual_images_per_sec"] = round(paced, 1)
+        out["headroom_vs_target"] = round(
+            out["max_images_per_sec"] / args.target_rate, 2)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--crop", type=int, default=512)
+    ap.add_argument("--e2e", action="store_true",
+                    help="assembled Loader + prefetch end-to-end throughput")
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--target-rate", type=float, default=0.0,
+                    help="paced-consumer img/s for the headroom check")
     args = ap.parse_args()
+    if args.e2e:
+        return bench_e2e(args)
 
     from segmentation_factory_tpu import native
 

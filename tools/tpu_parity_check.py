@@ -197,9 +197,135 @@ def check_argmax():
           f"  mismatch_rate={mismatch:.2e}  {status}")
 
 
+def check_block():
+    """r4 fused half-block kernels (ops/pallas_block.py): attention half
+    (LN1+q+attn+proj+droppath residual) and FFN half (LN2+MixFFN+residual),
+    fwd + all grads vs the XLA fallback composition, judged against fp32
+    CPU ground truth with the same 4x-of-XLA's-own-rounding yardstick."""
+    from segmentation_factory_tpu.ops import pallas_block as B
+
+    print("-- fused MiT half-block kernels (attention half) --")
+    rng = np.random.default_rng(5)
+    for dtype, tol in [(jnp.float32, 5e-4), (jnp.bfloat16, 5e-2)]:
+        # (b, h, w, c, m, heads): MiT stage-1/2/3-like shapes
+        for b, h, w, c, m, heads in [
+            (2, 64, 64, 64, 64, 1),
+            (1, 32, 32, 128, 64, 2),
+            (1, 16, 16, 320, 64, 5),
+        ]:
+            d = c // heads
+            scale = d**-0.5
+            args = [
+                jnp.asarray(rng.normal(size=(b, h, w, c)), dtype),
+                jnp.asarray(rng.normal(size=(b, m, c)) * 0.5, dtype),
+                jnp.asarray(rng.normal(size=(b, m, c)) * 0.5, dtype),
+                jnp.asarray(rng.normal(size=(c,)) * 0.2 + 1.0, jnp.float32),
+                jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32),
+                jnp.asarray(rng.normal(size=(c, c)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(c,)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(c, c)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(c,)) * 0.1, dtype),
+                jnp.ones((b,), jnp.float32),
+            ]
+
+            def loss_f(*a):
+                return jnp.mean(B.attn_block_apply(
+                    *a, heads, scale, use_pallas=True).astype(jnp.float32) ** 2)
+
+            def loss_r(*a):
+                return jnp.mean(B.attn_block_xla(
+                    *a, heads, scale).astype(jnp.float32) ** 2)
+
+            got = jax.jit(lambda *a: B.attn_block_apply(
+                *a, heads, scale, use_pallas=True))(*args)
+            want = jax.jit(lambda *a: B.attn_block_xla(
+                *a, heads, scale))(*args)
+            gf = jax.jit(jax.grad(loss_f, argnums=tuple(range(9))))(*args)
+            gr = jax.jit(jax.grad(loss_r, argnums=tuple(range(9))))(*args)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                a32 = [jnp.asarray(np.asarray(t), jnp.float32) for t in args]
+                fwd_t = jax.jit(lambda *a: B.attn_block_xla(
+                    *a, heads, scale))(*a32)
+                gt = jax.jit(jax.grad(loss_r, argnums=tuple(range(9))))(*a32)
+            fwd_fused = _rel(got, fwd_t)
+            fwd_xla = _rel(want, fwd_t)
+            err_fused = max(_rel(a, t) for a, t in zip(gf, gt))
+            err_xla = max(_rel(a, t) for a, t in zip(gr, gt))
+            status = (
+                "OK" if fwd_fused < max(4 * fwd_xla, tol)
+                and err_fused < max(4 * err_xla, tol)
+                else "FAIL"
+            )
+            print(
+                f"{np.dtype(dtype).name:>9} b={b} h={h:>3} c={c:>3} m={m:>4}"
+                f" heads={heads}  fwd_vs_f32: fused={fwd_fused:.3e}"
+                f" xla={fwd_xla:.3e}"
+                f"  bwd_vs_f32: fused={err_fused:.3e} xla={err_xla:.3e}"
+                f"  {status}"
+            )
+
+    print("-- fused MiT half-block kernels (FFN half) --")
+    for dtype, tol in [(jnp.float32, 5e-4), (jnp.bfloat16, 5e-2)]:
+        for b, h, w, c, hc in [(2, 32, 32, 64, 256), (1, 64, 16, 128, 512)]:
+            args = [
+                jnp.asarray(rng.normal(size=(b, h, w, c)), dtype),
+                jnp.asarray(rng.normal(size=(c,)) * 0.2 + 1.0, jnp.float32),
+                jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32),
+                jnp.asarray(rng.normal(size=(c, hc)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(hc,)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(3, 3, 1, hc)) * 0.3, dtype),
+                jnp.asarray(rng.normal(size=(hc,)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(hc, c)) * 0.1, dtype),
+                jnp.asarray(rng.normal(size=(c,)) * 0.1, dtype),
+                jnp.ones((b,), jnp.float32),
+            ]
+
+            def ref(*a):
+                return B.ffn_block_xla(*a[:5], a[5][:, :, 0], *a[6:])
+
+            def loss_f(*a):
+                return jnp.mean(B.ffn_block_apply(
+                    *a, use_pallas=True).astype(jnp.float32) ** 2)
+
+            def loss_r(*a):
+                return jnp.mean(ref(*a).astype(jnp.float32) ** 2)
+
+            got = jax.jit(lambda *a: B.ffn_block_apply(
+                *a, use_pallas=True))(*args)
+            want = jax.jit(ref)(*args)
+            gf = jax.jit(jax.grad(loss_f, argnums=tuple(range(9))))(*args)
+            gr = jax.jit(jax.grad(loss_r, argnums=tuple(range(9))))(*args)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                a32 = [jnp.asarray(np.asarray(t), jnp.float32) for t in args]
+                fwd_t = jax.jit(ref)(*a32)
+                gt = jax.jit(jax.grad(loss_r, argnums=tuple(range(9))))(*a32)
+            fwd_fused = _rel(got, fwd_t)
+            fwd_xla = _rel(want, fwd_t)
+            err_fused = max(
+                _rel(np.asarray(a).reshape(np.asarray(t).shape), t)
+                for a, t in zip(gf, gt)
+            )
+            err_xla = max(_rel(a, t) for a, t in zip(gr, gt))
+            status = (
+                "OK" if fwd_fused < max(4 * fwd_xla, tol)
+                and err_fused < max(4 * err_xla, tol)
+                else "FAIL"
+            )
+            print(
+                f"{np.dtype(dtype).name:>9} b={b} h={h:>3} w={w:>3} c={c:>3}"
+                f" hc={hc:>4}  fwd_vs_f32: fused={fwd_fused:.3e}"
+                f" xla={fwd_xla:.3e}"
+                f"  bwd_vs_f32: fused={err_fused:.3e} xla={err_xla:.3e}"
+                f"  {status}"
+            )
+
+
 def main():
     assert jax.default_backend() != "cpu", "needs a TPU backend"
     print(f"backend: {jax.default_backend()}  device: {jax.devices()[0].device_kind}")
+    check_block()
     check_ffn()
     check_resize_sum()
     check_loss()
