@@ -17,10 +17,11 @@ clamping falls out of the halo BlockSpecs: at the image boundary the
 prev/next row index maps clamp to the edge row, and replication IS the
 clamp semantics.
 
-Backward: the op is linear, so the VJP is its transpose — taken by
-autodiffing an XLA composition of the identical polyphase math (exact
-transpose, no recompute of anything large; d z_target is the cotangent
-itself).
+Backward: the op is linear, so the VJP is its transpose. dz_target is the
+cotangent itself; every small level's transpose comes from ONE fused
+Pallas pass over the cotangent (_bwd_kernel — r4; the r3 XLA-twin VJP
+read the 200 MB flagship cotangent once per level and profiled 5.5 ms of
+the train step).
 
 Parity: tests/test_pallas_resize_sum.py checks fwd + grads against the
 jax.image.resize composition in interpret mode (CPU) and compiled on TPU
@@ -33,6 +34,7 @@ import functools
 import os
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -186,15 +188,125 @@ def _fwd_rule(z1, smalls, scales, tile):
     return _fused(z1, smalls, scales, tile), None
 
 
+def _bwd_kernel(scales, nlev, g_ref, *out_refs):
+    """One pass over the cotangent emitting EVERY level's transpose.
+
+    The exact transpose of the polyphase forward, separable: W-transpose
+    (phase deinterleave + shifted scatter + edge-clamp fold) then
+    H-transpose, whose two boundary rows go to a per-tile halo output that
+    XLA folds back afterwards (same pattern as pallas_loss._backward). The
+    r3 XLA-twin VJP read the 200 MB head cotangent once PER LEVEL through
+    multi-pass stack/pad transposes — profiled 5.5 ms of the flagship
+    step; this kernel reads it once total."""
+    g = g_ref[0].astype(jnp.float32)  # (TH, W, E)
+    th, w, e = g.shape
+    for li in range(nlev):
+        s = scales[li]
+        dz_ref, halo_ref = out_refs[2 * li], out_refs[2 * li + 1]
+        ws = w // s
+        ts = th // s
+        taps = _phase_taps(s)
+        # W-transpose: deinterleave column phases, scatter with the
+        # opposite shifts, fold the edge clamp
+        gm_all = g.reshape(th, ws, s, e)
+        dext_w = jnp.zeros((th, ws + 2, e), jnp.float32)
+        for m, (off, w_lo, w_hi) in enumerate(taps):
+            gm = gm_all[:, :, m, :]
+            dext_w = dext_w + jnp.pad(
+                gm * w_lo, ((0, 0), (off, 2 - off), (0, 0)))
+            dext_w = dext_w + jnp.pad(
+                gm * w_hi, ((0, 0), (off + 1, 1 - off), (0, 0)))
+        dcols = dext_w[:, 1 : ws + 1]
+        dcols = dcols + jnp.pad(
+            dext_w[:, :1], ((0, 0), (0, ws - 1), (0, 0)))
+        dcols = dcols + jnp.pad(
+            dext_w[:, ws + 1 : ws + 2], ((0, 0), (ws - 1, 0), (0, 0)))
+        # H-transpose: rows t+off / t+off+1 of the (TS+2)-extended block;
+        # boundary rows 0 and TS+1 become the halo output
+        gr = dcols.reshape(ts, s, ws, e)
+        dext_h = jnp.zeros((ts + 2, ws, e), jnp.float32)
+        for m, (off, w_lo, w_hi) in enumerate(taps):
+            gm = gr[:, m]
+            dext_h = dext_h + jnp.pad(
+                gm * w_lo, ((off, 2 - off), (0, 0), (0, 0)))
+            dext_h = dext_h + jnp.pad(
+                gm * w_hi, ((off + 1, 1 - off), (0, 0), (0, 0)))
+        dz_ref[0] = dext_h[1 : ts + 1].astype(dz_ref.dtype)
+        halo_ref[0, 0] = dext_h[0].astype(halo_ref.dtype)
+        halo_ref[0, 1] = dext_h[ts + 1].astype(halo_ref.dtype)
+
+
+def _backward(g, shapes, scales, tile):
+    bsz, h, w, e = g.shape
+    th = tile
+    grid = (bsz, h // th)
+    nh = h // th
+    gspec = pl.BlockSpec((1, th, w, e), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs, out_shapes = [], []
+    for (zs, s) in zip(shapes, scales):
+        ws, ts = w // s, th // s
+        out_specs += [
+            pl.BlockSpec((1, ts, ws, e), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, ws, e), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(zs, jnp.float32),
+            jax.ShapeDtypeStruct((bsz, nh * 2, ws, e), jnp.float32),
+        ]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, tuple(scales), len(scales)),
+        grid=grid,
+        in_specs=[gspec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bsz * h * w * e * len(scales),
+            bytes_accessed=2 * g.size * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+    )(g)
+    dsmalls = []
+    for li, s in enumerate(scales):
+        dz, halo = outs[2 * li], outs[2 * li + 1]
+        hs = h // s
+        ts = th // s
+        up = halo[:, 0::2]  # contributions to global row i*ts - 1
+        dn = halo[:, 1::2]  # contributions to global row i*ts + ts
+        dz = dz.at[:, 0].add(up[:, 0])  # clamp: row -1 folds onto row 0
+        if nh > 1:
+            idx_up = np.arange(1, nh) * ts - 1
+            dz = dz.at[:, idx_up].add(up[:, 1:])
+            idx_dn = np.arange(0, nh - 1) * ts + ts
+            dz = dz.at[:, idx_dn].add(dn[:, :-1])
+        dz = dz.at[:, hs - 1].add(dn[:, nh - 1])  # clamp at the bottom edge
+        dsmalls.append(dz.astype(g.dtype))
+    return tuple(dsmalls)
+
+
 def _bwd_rule(scales, tile, _, g):
-    # linear op: VJP = transpose, taken from the XLA twin of the same math
-    dz1 = g.astype(g.dtype)
+    # linear op: VJP = transpose. dz1 is the cotangent itself; the small
+    # levels come from ONE fused Pallas pass over g (kernel above), with
+    # the XLA-twin transpose kept for shapes the kernel can't tile.
+    dz1 = g
+    shapes = tuple(
+        (g.shape[0], g.shape[1] // s, g.shape[2] // s, g.shape[3])
+        for s in scales
+    )
+    th = tile
+    if g.shape[1] % th == 0 and all(th % s == 0 for s in scales):
+        return dz1, _backward(g, shapes, scales, th)
     dsmalls = tuple(
         jax.vjp(lambda z: _xla_upsample(z, s),
-                jnp.zeros((g.shape[0], g.shape[1] // s, g.shape[2] // s,
-                           g.shape[3]), g.dtype))[1](
-            g.astype(jnp.float32))[0].astype(g.dtype)
-        for s in scales
+                jnp.zeros(zs, g.dtype))[1](g.astype(jnp.float32))[0].astype(
+            g.dtype)
+        for zs, s in zip(shapes, scales)
     )
     return dz1, dsmalls
 

@@ -72,14 +72,16 @@ def test_gradients_match_reference_interpret():
     )
 
     def fused_loss(ls):
-        with pltpu.force_tpu_interpret_mode():
-            out = R._fused(ls[0], tuple(ls[1:]), (2, 4, 8), 8)
+        out = R._fused(ls[0], tuple(ls[1:]), (2, 4, 8), 8)
         return jnp.sum(out * g)
 
     def ref_loss(ls):
         return jnp.sum(_ref(ls) * g)
 
-    got = jax.grad(fused_loss)(levels)
+    # the whole grad runs interpreted: the backward is now a Pallas kernel
+    # too (one fused transpose pass), not just the forward
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(fused_loss)(levels)
     want = jax.grad(ref_loss)(levels)
     for a, b in zip(got, want):
         np.testing.assert_allclose(

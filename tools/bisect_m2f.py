@@ -1,0 +1,205 @@
+"""Op-level bisect of the Mask2Former TPU worker crash (VERDICT r3 #3).
+
+Round-4 fact base: BENCH run r4 crashed the worker on the
+mit_b2_mask2former_512 config even on its CE (mask_loss=False) path —
+so the crash is NOT specific to the Hungarian mask loss; something in the
+M2F stack (pixel decoder / masked decoder / their backward) kills the
+worker at 512^2.
+
+Each piece runs as its OWN process (`python tools/bisect_m2f.py <piece>`)
+so a worker crash is contained and attributable; drive with
+`for p in ...; do timeout 560 python tools/bisect_m2f.py $p; <liveness>; done`.
+
+Pieces (all b4 512^2 flagship shapes, bf16, jitted, value-fetch synced):
+  head_fwd          full M2F head forward (CE path)
+  head_bwd          head fwd+bwd (grads wrt head params)
+  pixdec_fwd        MSDeformAttnPixelDecoder forward alone
+  pixdec_bwd        pixel decoder fwd+bwd
+  maskdec_fwd       MultiScaleMaskedTransformerDecoder forward alone
+  maskdec_bwd       masked decoder fwd+bwd
+  seminf_bwd        semantic_inference + log + CE fwd+bwd (tail alone)
+  full_step         the exact crashing bench program (model train step)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, IMG, NC = 4, 512, 19
+CH = [64, 128, 320, 512]  # MiT-B2 pyramid channels
+
+
+def _feats(rng):
+    return [
+        jnp.asarray(rng.normal(size=(B, IMG // s, IMG // s, c)) * 0.5,
+                    jnp.bfloat16)
+        for s, c in zip((4, 8, 16, 32), CH)
+    ]
+
+
+def _fetch(x):
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _grad_fetch(loss_fn, params):
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    gs = sum(float(jnp.sum(jnp.abs(t.astype(jnp.float32))))
+             for t in jax.tree_util.tree_leaves(grads))
+    return float(loss), gs
+
+
+def head_modules():
+    from segmentation_factory_tpu.models.heads.mask2former import (
+        Mask2FormerHead,
+    )
+
+    return Mask2FormerHead(channels=CH, num_classes=NC)
+
+
+def piece_head_fwd():
+    rng = np.random.default_rng(0)
+    feats = _feats(rng)
+    head = head_modules()
+    v = jax.jit(lambda: head.init(jax.random.PRNGKey(0), feats, train=False))()
+    out = jax.jit(lambda v, f: head.apply(v, f, train=False))(v, feats)
+    print("head_fwd OK", _fetch(out))
+
+
+def piece_head_bwd():
+    rng = np.random.default_rng(0)
+    feats = _feats(rng)
+    label = jnp.asarray(rng.integers(0, NC, (B, IMG, IMG)), jnp.int32)
+    head = head_modules()
+    v = jax.jit(lambda: head.init(jax.random.PRNGKey(0), feats, train=False))()
+
+    from segmentation_factory_tpu.losses import criterion
+
+    def loss_fn(params):
+        logits = head.apply({"params": params}, feats, train=False)
+        return criterion(logits, label, 255, use_dice=True, loss_type="ce")
+
+    print("head_bwd OK", _grad_fetch(loss_fn, v["params"]))
+
+
+def _pixdec():
+    from segmentation_factory_tpu.models.layers.msdeformattn import (
+        MSDeformAttnPixelDecoder,
+    )
+
+    return MSDeformAttnPixelDecoder(channels=CH, dim=256, mask_dim=256,
+                                    n_layers=6, dtype=jnp.bfloat16)
+
+
+def piece_pixdec_fwd():
+    rng = np.random.default_rng(0)
+    feats = _feats(rng)
+    mod = _pixdec()
+    v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), feats))()
+    mf, ms = jax.jit(lambda v, f: mod.apply(v, f))(v, feats)
+    print("pixdec_fwd OK", _fetch(mf), len(ms))
+
+
+def piece_pixdec_bwd():
+    rng = np.random.default_rng(0)
+    feats = _feats(rng)
+    mod = _pixdec()
+    v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), feats))()
+
+    def loss_fn(params):
+        mf, ms = mod.apply({"params": params}, feats)
+        return (jnp.sum(mf.astype(jnp.float32) ** 2)
+                + sum(jnp.sum(m.astype(jnp.float32) ** 2) for m in ms))
+
+    print("pixdec_bwd OK", _grad_fetch(loss_fn, v["params"]))
+
+
+def _maskdec():
+    from segmentation_factory_tpu.models.layers.mask_decoders import (
+        MultiScaleMaskedTransformerDecoder,
+    )
+
+    return MultiScaleMaskedTransformerDecoder(
+        num_classes=NC, dim=256, num_queries=100, num_layers=9,
+        mask_dim=256, dtype=jnp.bfloat16)
+
+
+def _maskdec_inputs(rng):
+    ms = [
+        jnp.asarray(rng.normal(size=(B, IMG // s, IMG // s, 256)) * 0.5,
+                    jnp.bfloat16)
+        for s in (32, 16, 8)
+    ]
+    mf = jnp.asarray(rng.normal(size=(B, IMG // 4, IMG // 4, 256)) * 0.5,
+                     jnp.bfloat16)
+    return ms, mf
+
+
+def piece_maskdec_fwd():
+    rng = np.random.default_rng(0)
+    ms, mf = _maskdec_inputs(rng)
+    mod = _maskdec()
+    v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), ms, mf,
+                                 deterministic=True))()
+    out = jax.jit(lambda v: mod.apply(v, ms, mf, deterministic=True))(v)
+    print("maskdec_fwd OK", _fetch(out["pred_logits"]),
+          _fetch(out["pred_masks"]))
+
+
+def piece_maskdec_bwd():
+    rng = np.random.default_rng(0)
+    ms, mf = _maskdec_inputs(rng)
+    mod = _maskdec()
+    v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), ms, mf,
+                                 deterministic=True))()
+
+    def loss_fn(params):
+        out = mod.apply({"params": params}, ms, mf, deterministic=True)
+        return (jnp.sum(out["pred_logits"].astype(jnp.float32) ** 2)
+                + jnp.sum(out["pred_masks"].astype(jnp.float32) ** 2))
+
+    print("maskdec_bwd OK", _grad_fetch(loss_fn, v["params"]))
+
+
+def piece_seminf_bwd():
+    from segmentation_factory_tpu.models.heads.mask2former import (
+        semantic_inference,
+    )
+    from segmentation_factory_tpu.losses import criterion
+
+    rng = np.random.default_rng(0)
+    pl_ = jnp.asarray(rng.normal(size=(B, 100, NC + 1)), jnp.float32)
+    pm = jnp.asarray(rng.normal(size=(B, IMG // 4, IMG // 4, 100)),
+                     jnp.float32)
+    label = jnp.asarray(rng.integers(0, NC, (B, IMG, IMG)), jnp.int32)
+
+    def loss_fn(args):
+        pl2, pm2 = args
+        sem = semantic_inference(pl2, pm2)
+        logits = jnp.log(jnp.clip(sem, 1e-6, 1.0))
+        return criterion(logits, label, 255, use_dice=True, loss_type="ce")
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))((pl_, pm))
+    print("seminf_bwd OK", float(loss))
+
+
+def piece_full_step():
+    from bench import _build_state
+    from segmentation_factory_tpu.engine import make_train_step
+
+    state, data, sched = _build_state("mit_b2", "mask2formerhead", B, IMG)
+    step = jax.jit(make_train_step(learning_rate_fn=sched, loss_type="ce"))
+    state, m = step(state, data, jax.random.PRNGKey(1))
+    print("full_step OK", float(m["loss"]))
+
+
+if __name__ == "__main__":
+    piece = sys.argv[1]
+    fn = globals()[f"piece_{piece}"]
+    fn()
