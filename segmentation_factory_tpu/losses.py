@@ -84,6 +84,29 @@ def cross_entropy(
     return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def kth_largest(x: Array, k: Array) -> Array:
+    """Exact k-th largest value (``sort_desc(x)[k-1]``) of a 1-D f32 array
+    in 32 masked-count passes — a bit-level binary search on the
+    order-preserving integer view of the floats — instead of a full sort.
+    TPU sorts are bitonic multi-pass: at the OHEM north-star shape
+    (2M pixels, 1024² b2) ``jnp.sort`` measured ~3.3 ms of the loss
+    forward; the count passes are a few hundred µs. ``k`` may be traced;
+    duplicates behave like the sort-value threshold (downstream keeps
+    compare against the VALUE). k <= 0 yields a NaN threshold — callers
+    already gate that case (``n_min > 0``)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    u = jnp.where(b >> 31 == 1, ~b, b | jnp.uint32(0x80000000))
+
+    def body(i, prefix):
+        cand = prefix | (jnp.uint32(1) << (31 - i))
+        cnt = jnp.sum((u >= cand).astype(jnp.int32))
+        return jnp.where(cnt >= k, cand, prefix)
+
+    t = jax.lax.fori_loop(0, 32, body, jnp.uint32(0))
+    tb = jnp.where(t >> 31 == 1, t ^ jnp.uint32(0x80000000), ~t)
+    return jax.lax.bitcast_convert_type(tb, jnp.float32)
+
+
 def ohem_cross_entropy(
     logits: Array,
     labels: Array,
@@ -95,8 +118,8 @@ def ohem_cross_entropy(
 
     Keeps pixels whose loss exceeds ``-log(thresh)``, but at least
     ``n_min = valid_pixels * min_kept_ratio`` hardest pixels. The reference's
-    ``topk`` floor becomes a k-th-value threshold: sort losses descending and
-    keep ``loss >= sorted[n_min - 1]`` — the same set as an explicit rank
+    ``topk`` floor becomes a k-th-value threshold: keep
+    ``loss >= kth_largest(loss, n_min)`` — the same set as an explicit rank
     array (up to float ties, measure-zero for CE values) without the
     2M-element ``argsort`` + scatter the rank formulation needs (scatters
     with per-pixel indices serialize on TPU).
@@ -107,12 +130,7 @@ def ohem_cross_entropy(
     masked_loss = jnp.where(valid, loss, -jnp.inf)
     n_valid = jnp.sum(valid)
     n_min = (n_valid.astype(jnp.float32) * min_kept_ratio).astype(jnp.int32)
-    sorted_desc = -jnp.sort(-masked_loss)
-    kth = jax.lax.dynamic_index_in_dim(
-        sorted_desc,
-        jnp.clip(n_min - 1, 0, sorted_desc.shape[0] - 1),
-        keepdims=False,
-    )
+    kth = kth_largest(masked_loss, n_min)
     keep_topk = (masked_loss >= kth) & (n_min > 0)
     keep = valid & ((loss > loss_thresh) | keep_topk)
     kw = keep.astype(jnp.float32) * w

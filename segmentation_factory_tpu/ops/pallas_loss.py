@@ -462,10 +462,11 @@ def _ce_scalar_and_weights(loss_map, valid, loss_type, lab=None,
         masked = jnp.where(vflat > 0, flat, -jnp.inf)
         n_valid = jnp.sum(vflat)
         n_min = (n_valid * min_kept_ratio).astype(jnp.int32)
-        sorted_desc = -jnp.sort(-masked)
-        kth = jax.lax.dynamic_index_in_dim(
-            sorted_desc, jnp.clip(n_min - 1, 0, sorted_desc.shape[0] - 1),
-            keepdims=False)
+        # exact kth value via 32 count passes (losses.kth_largest) — the
+        # full jnp.sort measured ~3.3 ms at the 1024^2 north-star shape
+        from segmentation_factory_tpu.losses import kth_largest
+
+        kth = kth_largest(masked, n_min)
         keep_topk = (masked >= kth) & (n_min > 0)
         keep = (vflat > 0) & ((flat > loss_thresh) | keep_topk)
         w = keep.astype(jnp.float32)

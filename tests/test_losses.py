@@ -90,3 +90,23 @@ def test_class_weights():
     base = float(L.cross_entropy(logits, labels))
     same = float(L.cross_entropy(logits, labels, class_weights=w))
     assert same == pytest.approx(base, rel=1e-6)
+
+
+def test_kth_largest_matches_sort():
+    """Bit-search k-th largest == sort_desc[k-1], incl. duplicates, -inf
+    entries, and traced k."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=4096).astype(np.float32) * 5
+    x[::7] = x[3]  # duplicates
+    x[::11] = -np.inf  # invalid-pixel sentinel
+    xs = jnp.asarray(x)
+    sorted_desc = -np.sort(-x)
+    from segmentation_factory_tpu.losses import kth_largest
+
+    f = jax.jit(kth_largest)
+    for k in (1, 2, 17, 100, 2048, 4096):
+        got = float(f(xs, jnp.int32(k)))
+        want = float(sorted_desc[k - 1])
+        assert got == want or (np.isinf(got) and np.isinf(want)), (k, got, want)
