@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from segmentation_factory_tpu.models.layers import (
@@ -36,6 +37,38 @@ class _Conv1x1Kernel(nn.Module):
             nn.initializers.lecun_normal(),
             (1, 1, self.in_ch, self.out_ch),
         )
+
+
+class _BNRawInner(nn.Module):
+    """Raw BatchNorm scale/bias + running stats with nn.BatchNorm's exact
+    variable tree — for the fused tail kernel, which applies the
+    normalization itself (ops/pallas_head_tail.py)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.ch,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.ch,))
+        m = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.ch,), jnp.float32)
+        )
+        v = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.ch,), jnp.float32)
+        )
+        return s, b, m, v
+
+
+class _BNRaw(nn.Module):
+    """Wrapper matching layers.norm.BatchNorm's scope nesting
+    (linear_fuse/BatchNorm_0/BatchNorm_0/...), so fused-tail and classic
+    paths share one variable tree."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        return _BNRawInner(self.ch, name="BatchNorm_0")()
 
 
 class _LevelFuse(nn.Module):
@@ -66,7 +99,8 @@ class _LevelFuse(nn.Module):
     fused: bool = True
 
     @nn.compact
-    def __call__(self, levels, projs, target, train: bool = False):
+    def __call__(self, levels, projs, target, train: bool = False,
+                 tail=None):
         # levels/projs in concat order (top level first); projs[i] = (K, b)
         e = self.features
         kernel = _Conv1x1Kernel(len(levels) * e, e, name="Conv_0")()
@@ -98,6 +132,25 @@ class _LevelFuse(nn.Module):
             # single fused upsample+sum pass on TPU (ops/pallas_resize_sum);
             # XLA composition elsewhere
             acc = resize_sum(zs)
+        if tail is not None:
+            # fused tail (train, norm=bn): BN+ReLU+channel-dropout+classifier
+            # in ONE kernel pass over the fuse tensor, with the BN batch
+            # stats and running-stat update handled here
+            # (ops/pallas_head_tail.py). tail = (dmask, wcls, bcls).
+            from segmentation_factory_tpu.ops.pallas_head_tail import (
+                head_tail_train,
+            )
+
+            sc, bi, ra_m, ra_v = _BNRaw(
+                self.features, name="BatchNorm_0")()
+            dmask, wcls, bcls = tail
+            logits, mu, var = head_tail_train(
+                acc, sc, bi, dmask, wcls, bcls, 1e-5)
+            if self.is_mutable_collection("batch_stats"):
+                mom = 0.9  # layers.norm.BatchNorm default
+                ra_m.value = mom * ra_m.value + (1.0 - mom) * mu
+                ra_v.value = mom * ra_v.value + (1.0 - mom) * var
+            return logits
         acc = build_norm(self.norm, dtype=self.dtype)(acc, train=train)
         return nn.relu(acc)
 
@@ -115,18 +168,49 @@ class SegFormerHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        from segmentation_factory_tpu.ops.pallas_head_tail import (
+            shape_ok as _tail_shape_ok,
+            use_pallas_default as _tail_on,
+        )
+        from segmentation_factory_tpu.parallel.mesh import tp_mesh_active
+
         assert len(feats) == len(self.channels)
         projs = [
             _DenseParams(c, self.embed_dim, name=f"linear_c{i + 1}")()
             for i, c in enumerate(self.channels)
         ]
+        fuse = _LevelFuse(
+            self.embed_dim, norm=self.norm, dtype=self.dtype,
+            fused=self.fused, name="linear_fuse"
+        )
+        b, th, tw = feats[0].shape[0], feats[0].shape[1], feats[0].shape[2]
+        use_tail = (
+            train
+            and self.fused
+            and self.norm == "bn"
+            and _tail_on()
+            and not tp_mesh_active()
+            and _tail_shape_ok((b, th, tw, self.embed_dim), self.num_classes)
+        )
+        if use_tail:
+            # fused tail: classifier params declared raw (same tree as the
+            # nn.Dense below); channel-dropout mask generated here with the
+            # same semantics as nn.Dropout(broadcast_dims=(1, 2))
+            wp, bp = _DenseParams(
+                self.embed_dim, self.num_classes, name="linear_pred")()
+            if self.dropout > 0.0:
+                keep = 1.0 - self.dropout
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (b, self.embed_dim))
+                dmask = mask.astype(jnp.float32) / keep
+            else:
+                dmask = jnp.ones((b, self.embed_dim), jnp.float32)
+            return fuse(feats[::-1], projs[::-1], feats[0], train=True,
+                        tail=(dmask, wp, bp))
         # fold projection+fuse and apply at native per-level resolution (see
         # _LevelFuse); reversed order matches the reference's concat (top
         # level first)
-        x = _LevelFuse(
-            self.embed_dim, norm=self.norm, dtype=self.dtype,
-            fused=self.fused, name="linear_fuse"
-        )(feats[::-1], projs[::-1], feats[0], train=train)
+        x = fuse(feats[::-1], projs[::-1], feats[0], train=train)
         # ref uses nn.Dropout2d: whole-CHANNEL dropout, not per-pixel
         x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
             x, deterministic=not train

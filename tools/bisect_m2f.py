@@ -199,6 +199,44 @@ def piece_full_step():
     print("full_step OK", float(m["loss"]))
 
 
+
+
+def piece_msdeform():
+    """The deform patch-gather alone at the pixel-decoder's 512^2 shapes
+    (3 levels /8,/16,/32, dim 256, 8 heads, 4 points) — r4 narrowing: the
+    pixdec FORWARD completes but leaves the worker wedged."""
+    from segmentation_factory_tpu.ops.msdeform import ms_deform_attn_fast
+
+    rng = np.random.default_rng(0)
+    shapes = [(IMG // 8, IMG // 8), (IMG // 16, IMG // 16),
+              (IMG // 32, IMG // 32)]
+    s = sum(h * w for h, w in shapes)
+    m, d, p = 8, 32, 4
+    q = s
+    value = jnp.asarray(rng.normal(size=(B, s, m, d)), jnp.bfloat16)
+    loc = jnp.asarray(rng.random((B, q, m, len(shapes), p, 2)), jnp.float32)
+    aw = jnp.asarray(rng.random((B, q, m, len(shapes), p)), jnp.float32)
+    aw = aw / aw.sum(axis=(-2, -1), keepdims=True)
+    out = jax.jit(ms_deform_attn_fast, static_argnums=(1,))(
+        value, tuple(shapes), loc, aw)
+    print("msdeform OK", _fetch(out))
+
+
+def piece_pixdec1():
+    """Pixel decoder with n_layers=1 (isolates layer count vs structure)."""
+    from segmentation_factory_tpu.models.layers.msdeformattn import (
+        MSDeformAttnPixelDecoder,
+    )
+
+    rng = np.random.default_rng(0)
+    feats = _feats(rng)
+    mod = MSDeformAttnPixelDecoder(channels=CH, dim=256, mask_dim=256,
+                                   n_layers=1, dtype=jnp.bfloat16)
+    v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), feats))()
+    mf, ms = jax.jit(lambda v, f: mod.apply(v, f))(v, feats)
+    print("pixdec1 OK", _fetch(mf), len(ms))
+
+
 if __name__ == "__main__":
     piece = sys.argv[1]
     fn = globals()[f"piece_{piece}"]

@@ -384,3 +384,64 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def check_tail():
+    """r4 fused head-tail kernels (ops/pallas_head_tail.py): BN-train ->
+    ReLU -> channel dropout -> fp32 classifier, fwd + all grads vs the XLA
+    composition with autodiff THROUGH the batch statistics."""
+    from segmentation_factory_tpu.ops import pallas_head_tail as T
+
+    print("-- fused head-tail kernels (BN+ReLU+dropout+classifier) --")
+    rng = np.random.default_rng(6)
+    eps = 1e-5
+    for dtype, tol in [(jnp.float32, 5e-4), (jnp.bfloat16, 5e-2)]:
+        for b, h, w, e, nc in [(2, 64, 64, 256, 19), (1, 128, 128, 768, 19)]:
+            s = jnp.asarray(rng.normal(size=(b, h, w, e)) * 2, dtype)
+            gamma = jnp.asarray(rng.normal(size=(e,)) * 0.2 + 1.0, jnp.float32)
+            beta = jnp.asarray(rng.normal(size=(e,)) * 0.1, jnp.float32)
+            keep = 0.9
+            dmask = jnp.asarray(
+                (rng.random((b, e)) < keep).astype(np.float32) / keep)
+            wcls = jnp.asarray(rng.normal(size=(e, nc)) * 0.05, jnp.float32)
+            bcls = jnp.asarray(rng.normal(size=(nc,)) * 0.05, jnp.float32)
+            args = (s, gamma, beta, dmask, wcls, bcls)
+
+            def loss_f(s, g_, b_, w_, bc_):
+                out, _, _ = T.head_tail_train(s, g_, b_, dmask, w_, bc_, eps)
+                return jnp.mean(out ** 2)
+
+            def loss_r(s, g_, b_, w_, bc_):
+                out, _, _ = T.head_tail_xla(s, g_, b_, dmask, w_, bc_, eps)
+                return jnp.mean(out ** 2)
+
+            a = (s, gamma, beta, wcls, bcls)
+            got = jax.jit(lambda *a2: T.head_tail_train(
+                a2[0], a2[1], a2[2], dmask, a2[3], a2[4], eps)[0])(*a)
+            want = jax.jit(lambda *a2: T.head_tail_xla(
+                a2[0], a2[1], a2[2], dmask, a2[3], a2[4], eps)[0])(*a)
+            gf = jax.jit(jax.grad(loss_f, argnums=tuple(range(5))))(*a)
+            gr = jax.jit(jax.grad(loss_r, argnums=tuple(range(5))))(*a)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                a32 = [jnp.asarray(np.asarray(t), jnp.float32) for t in a]
+                fwd_t = jax.jit(lambda *a2: T.head_tail_xla(
+                    a2[0], a2[1], a2[2],
+                    jnp.asarray(np.asarray(dmask)), a2[3], a2[4], eps)[0]
+                )(*a32)
+                gt = jax.jit(jax.grad(loss_r, argnums=tuple(range(5))))(*a32)
+            fwd_fused = _rel(got, fwd_t)
+            fwd_xla = _rel(want, fwd_t)
+            err_fused = max(_rel(x, t) for x, t in zip(gf, gt))
+            err_xla = max(_rel(x, t) for x, t in zip(gr, gt))
+            status = (
+                "OK" if fwd_fused < max(4 * fwd_xla, tol)
+                and err_fused < max(4 * err_xla, tol)
+                else "FAIL"
+            )
+            print(
+                f"{np.dtype(dtype).name:>9} b={b} h={h:>3} e={e:>3} nc={nc}"
+                f"  fwd_vs_f32: fused={fwd_fused:.3e} xla={fwd_xla:.3e}"
+                f"  bwd_vs_f32: fused={err_fused:.3e} xla={err_xla:.3e}"
+                f"  {status}"
+            )
