@@ -2,9 +2,24 @@
 
 Round-4 fact base: BENCH run r4 crashed the worker on the
 mit_b2_mask2former_512 config even on its CE (mask_loss=False) path —
-so the crash is NOT specific to the Hungarian mask loss; something in the
-M2F stack (pixel decoder / masked decoder / their backward) kills the
-worker at 512^2.
+so the crash is NOT specific to the Hungarian mask loss.
+
+r4 BISECT RESULT (each row its own process, backend liveness probed):
+  ms_deform_attn_fast fwd (3 lvls, 8 heads, 4 pts) .... OK, live
+  MSDeformAttnPixelDecoder n_layers=1 fwd ............. OK, live
+  MSDeformAttnPixelDecoder n_layers=6 fwd ............. OK (cold compile
+      run once left the worker WEDGED; warm rerun clean — the wedge is a
+      flaky program-load phenomenon, distinct from the crash)
+  MultiScaleMaskedTransformerDecoder fwd+bwd .......... OK, live
+  MSDeformAttnPixelDecoder n_layers=6 fwd+BWD ......... **WORKER CRASH**
+      ("TPU worker process crashed ... kernel fault"), reproducible from
+      a live backend
+  full M2F train step (CE path) ....................... WORKER CRASH
+=> the crash locus is the PIXEL DECODER BACKWARD at 512^2 b4. The prime
+suspect inside it is the deform gather's autodiff (a scatter-add over the
+multi-level value tensor) — see piece_msdeform_bwd. Everything passes on
+CPU meshes, and fwd values match live torch (PARITY.md): this is a
+backend/toolchain fault, not an application math bug.
 
 Each piece runs as its OWN process (`python tools/bisect_m2f.py <piece>`)
 so a worker crash is contained and attributable; drive with
@@ -175,8 +190,8 @@ def piece_seminf_bwd():
 
     rng = np.random.default_rng(0)
     pl_ = jnp.asarray(rng.normal(size=(B, 100, NC + 1)), jnp.float32)
-    pm = jnp.asarray(rng.normal(size=(B, IMG // 4, IMG // 4, 100)),
-                     jnp.float32)
+    pm = jnp.asarray(rng.normal(size=(B, 100, IMG // 4, IMG // 4)),
+                     jnp.float32)  # (B, Q, H, W) — semantic_inference layout
     label = jnp.asarray(rng.integers(0, NC, (B, IMG, IMG)), jnp.int32)
 
     def loss_fn(args):
@@ -235,6 +250,33 @@ def piece_pixdec1():
     v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), feats))()
     mf, ms = jax.jit(lambda v, f: mod.apply(v, f))(v, feats)
     print("pixdec1 OK", _fetch(mf), len(ms))
+
+
+
+
+def piece_msdeform_bwd():
+    """The deform patch-gather fwd+BWD alone (the gather's autodiff is a
+    scatter-add at 512^2 shapes — narrowing pixdec_bwd's worker crash)."""
+    from segmentation_factory_tpu.ops.msdeform import ms_deform_attn_fast
+
+    rng = np.random.default_rng(0)
+    shapes = [(IMG // 8, IMG // 8), (IMG // 16, IMG // 16),
+              (IMG // 32, IMG // 32)]
+    s = sum(h * w for h, w in shapes)
+    m, d, p = 8, 32, 4
+    q = s
+    value = jnp.asarray(rng.normal(size=(B, s, m, d)), jnp.bfloat16)
+    loc = jnp.asarray(rng.random((B, q, m, len(shapes), p, 2)), jnp.float32)
+    aw = jnp.asarray(rng.random((B, q, m, len(shapes), p)), jnp.float32)
+    aw = aw / aw.sum(axis=(-2, -1), keepdims=True)
+
+    def loss_fn(args):
+        v, l2, a2 = args
+        out = ms_deform_attn_fast(v, tuple(shapes), l2, a2)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))((value, loc, aw))
+    print("msdeform_bwd OK", float(loss))
 
 
 if __name__ == "__main__":
