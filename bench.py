@@ -540,11 +540,26 @@ def main():
     cache = _load_cache()
 
     # ---- liveness preflight (own subprocess: a wedged worker makes device
-    # calls uninterruptible in-process; only a kill -9 from outside works)
-    pf_budget = min(PREFLIGHT_TIMEOUT_S, deadline - time.perf_counter() - 30)
-    pf, pf_rc, pf_err = _run_subprocess(
-        [os.path.abspath(__file__), "--preflight"], max(pf_budget, 10))
-    backend_up = bool(pf and pf.get("ok"))
+    # calls uninterruptible in-process; only a kill -9 from outside works).
+    # TWO attempts 45 s apart: a freshly self-restarted worker answers
+    # jax.devices() but serves its first programs pathologically slowly for
+    # a couple of minutes (observed twice in r4 — the first preflight after
+    # a recovery timed out while an identical probe succeeded moments
+    # later); one retry rides that out without risking the global budget.
+    backend_up = False
+    pf = pf_rc = pf_err = None
+    for attempt in range(2):
+        pf_budget = min(PREFLIGHT_TIMEOUT_S,
+                        deadline - time.perf_counter() - 30)
+        if pf_budget < 10 and attempt:
+            break
+        pf, pf_rc, pf_err = _run_subprocess(
+            [os.path.abspath(__file__), "--preflight"], max(pf_budget, 10))
+        backend_up = bool(pf and pf.get("ok"))
+        if backend_up:
+            break
+        if attempt == 0 and deadline - time.perf_counter() > 240:
+            time.sleep(45)
 
     results = []
     if not backend_up:
