@@ -38,13 +38,20 @@ separate single-step compile (cost models count a scan body once). A
 wall-clock that still implies > 90% MFU is physically implausible; in that
 case the reported value falls back to the cost-model roofline, labeled.
 
+Output contract (r5): full per-config `details` go to an EARLIER stdout
+line and BENCH_DETAILS.json; the FINAL line is compact (metric / value /
+unit / vs_baseline / backend_up / wall_sec + ~100-char per-config
+summaries) and structurally capped at 1500 chars so the driver's 2000-char
+tail window always parses it (r4's final line overflowed that window).
+
 Configs benched:
   1. flagship   — MiT-B2 + SegFormerHead, 512^2, batch 8, CE
      (reference default, /root/reference/train_gpu.py:38-44)
   2. north star — MiT-B2 + SegFormerHead, 1024^2, batch 2, OHEM CE
      (BASELINE.md config #5: Cityscapes 1024^2 + OhemCrossEntropy)
   3. inference  — forward-only serving config
-  4. mask2former — MiT-B2 + Mask2FormerHead (MSDeformAttn pixel decoder +
+  4. ConvNeXt-T + UPerHead, 512^2 ADE-150 (BASELINE.md config #2 op mix)
+  5. mask2former — MiT-B2 + Mask2FormerHead (MSDeformAttn pixel decoder +
      9-layer masked decoder), 512^2, batch 4 — the perf evidence for the
      patch-gather deform design (VERDICT r2 item 5)
 
@@ -135,7 +142,8 @@ def _fetch_rtt(scalar_on_device) -> float:
     return statistics.median(ts)
 
 
-def _build_state(backbone, head, batch, img, nc=19, head_kwargs=None):
+def _build_state(backbone, head, batch, img, nc=19, head_kwargs=None,
+                 remat=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -147,7 +155,7 @@ def _build_state(backbone, head, batch, img, nc=19, head_kwargs=None):
     from segmentation_factory_tpu.models import build_model
     from segmentation_factory_tpu.schedule import create_schedule
 
-    model = build_model(backbone, head, num_classes=nc,
+    model = build_model(backbone, head, num_classes=nc, remat=remat,
                         **({"head_kwargs": head_kwargs} if head_kwargs else {}))
     sched = create_schedule("cosine", 1e-3, total_steps=10_000, warmup_steps=100)
     tx = create_optimizer("adamw", sched, clip_grad=0.02, clip_mode="agc")
@@ -170,14 +178,16 @@ def bench_config(
     backbone: str = "mit_b2",
     head: str = "segformerhead",
     head_kwargs=None,
+    nc: int = 19,
+    remat: bool = False,
 ):
     """Compile + time one train-step config, emitting milestones as it goes."""
     import jax
 
     from segmentation_factory_tpu.engine import make_train_step
 
-    state, data, sched = _build_state(backbone, head, batch, img,
-                                      head_kwargs=head_kwargs)
+    state, data, sched = _build_state(backbone, head, batch, img, nc=nc,
+                                      head_kwargs=head_kwargs, remat=remat)
     step_fn = make_train_step(learning_rate_fn=sched, loss_type=loss_type)
     key = jax.random.PRNGKey(1)
 
@@ -211,7 +221,7 @@ def bench_config(
     if head == "segformerhead":
         rkw = dict(head_kwargs or {})
         rkw["fused"] = False
-        rstate, rdata, _ = _build_state(backbone, head, batch, img,
+        rstate, rdata, _ = _build_state(backbone, head, batch, img, nc=nc,
                                         head_kwargs=rkw)
         ref_step = make_train_step(learning_rate_fn=sched,
                                    loss_type=loss_type,
@@ -448,6 +458,12 @@ CONFIGS = {
         "mit_b2_segformer_1024_ohem", batch=2, img=1024, loss_type="ohem"),
     "infer_mit_b2_segformer_512_b16": lambda: bench_infer(
         "infer_mit_b2_segformer_512_b16", batch=16, img=512),
+    # BASELINE.md pinned config #2: a different op mix from the MiT family
+    # (7x7 depthwise convs, LN-heavy blocks, PPM pooling + FPN merge;
+    # /root/reference/models/backbones/convnext.py:26-51 + heads/upernet.py)
+    "convnext_t_upernet_512_ade": lambda: bench_config(
+        "convnext_t_upernet_512_ade", batch=8, img=512, loss_type="ce",
+        backbone="convnext_tiny", head="uperhead", nc=150, k=20),
     "mit_b2_mask2former_512": lambda: bench_config(
         "mit_b2_mask2former_512", batch=4, img=512, loss_type="ce",
         k=10, reps=3, head="mask2formerhead"),
@@ -529,6 +545,12 @@ def _result_from_cache(name: str, cache: dict, why: str) -> dict:
         "cache_note": c.get("cache_note",
                             "FLOPs/rooflines from last healthy run"),
     })
+    # surface the last MEASURED wall-clock unambiguously: timing_reliable
+    # stays False (the number is not from THIS run), but the cached
+    # measurement is real and labeled as exactly that
+    if c.get("timing_reliable") and "measured_images_per_sec" in c:
+        out["cached_measured_images_per_sec"] = c["measured_images_per_sec"]
+        out["cached_measured_mfu"] = c.get("mfu")
     return out
 
 
@@ -595,43 +617,104 @@ def main():
                     cache[name] = parsed
         _save_cache(cache)
 
-    flagship = next(r for r in results if r.get("name") == FLAGSHIP)
+    _emit_final(results, backend_up, pf, time.perf_counter() - t_start)
+
+
+def _config_summary(r: dict) -> dict:
+    """One compact per-config entry for the final line (~100 chars each)."""
+    s = {"name": r.get("name", "?")[:40]}
+    if r.get("timing_reliable"):
+        s["ips"] = r.get("measured_images_per_sec")
+        s["mfu"] = r.get("mfu")
+        s["ok"] = True
+    else:
+        s["ok"] = False
+        if "cached_measured_images_per_sec" in r:
+            s["cached_ips"] = r["cached_measured_images_per_sec"]
+        elif "roofline_images_per_sec" in r:
+            s["roofline_ips"] = r["roofline_images_per_sec"]
+        if "error" in r:
+            s["err"] = str(r["error"])[:60]
+    return s
+
+
+def _emit_final(results, backend_up, pf, wall_sec) -> None:
+    """Emit full details on an EARLIER line + file, then ONE compact final
+    line hard-capped well under the driver's 2000-char tail window.
+
+    r4's lesson (BENCH_r04.json rc:0 parsed:null): embedding full `details`
+    in the final line overflowed the window and the driver read nothing.
+    The final line now carries only metric/value/unit/vs_baseline + tiny
+    per-config summaries, with structural guarantees on its length."""
+    # full details: earlier stdout line + sidecar file (never the final line)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAILS.json"), "w") as f:
+            json.dump(_finite({"backend_up": backend_up, "preflight": pf,
+                               "wall_sec": round(wall_sec, 1),
+                               "details": results}), f, indent=1)
+    except Exception:  # noqa: BLE001
+        pass
+    _emit({"bench_details": results, "preflight": pf})
+
+    flagship = next((r for r in results if r.get("name") == FLAGSHIP), {})
+    roofline = flagship.get("roofline_images_per_sec")
     if flagship.get("timing_reliable"):
         value = flagship["measured_images_per_sec"]
         metric = "train_images_per_sec_mit_b2_segformer_512"
         unit = "images/s/chip"
-        vs = value / flagship["a100_baseline_images_per_sec"]
-    elif "roofline_images_per_sec" in flagship:
+        base = flagship.get("a100_baseline_images_per_sec")
+        vs = value / base if base else 0.0
+    elif "cached_measured_images_per_sec" in flagship:
+        # backend down this run, but a fetch-synced measurement from the
+        # last healthy run exists — headline that (labeled), not a
+        # 100%-MFU roofline the chip never sustains
+        value = flagship["cached_measured_images_per_sec"]
+        metric = "cached_train_images_per_sec_mit_b2_segformer_512"
+        unit = "images/s/chip (last measured; backend down this run)"
+        base = flagship.get("a100_baseline_images_per_sec")
+        vs = value / base if base else 0.0
+    elif roofline is not None and flagship.get("flops_per_step") and \
+            flagship.get("peak_tflops"):
         # wall-clock missing or implies impossible MFU — report the
         # cost-model roofline vs the A100 roofline so both sides of the
         # ratio are 100%-MFU numbers, each on its own formulation's FLOPs
-        value = flagship["roofline_images_per_sec"]
+        value = roofline
         metric = "roofline_images_per_sec_mit_b2_segformer_512"
-        unit = "images/s/chip (cost-model upper bound; wall-clock unavailable)"
+        unit = "images/s/chip (roofline; no wall-clock)"
         ref_flops = flagship.get(
             "ref_formulation_flops_per_step", flagship["flops_per_step"])
         vs = (flagship["peak_tflops"] / A100_PEAK_TFLOPS) * (
             ref_flops / flagship["flops_per_step"])
     else:
-        print(json.dumps(_finite({
-            "metric": "bench_failed", "value": 0.0, "unit": "n/a",
-            "vs_baseline": 0.0, "backend_up": backend_up,
-            "details": results,
-        })))
-        return
+        value, metric, unit, vs = 0.0, "bench_failed", "n/a", 0.0
 
-    if value > flagship.get("roofline_images_per_sec", value) + 1e-6:
+    if metric != "bench_failed" and roofline is not None \
+            and value > roofline + 1e-6:
         metric, value = "bench_implausible", 0.0
-    print(json.dumps(_finite({
+    final = {
         "metric": metric,
         "value": round(value, 2),
         "unit": unit,
         "vs_baseline": round(vs, 3),
         "backend_up": backend_up,
-        "preflight": pf,
-        "wall_sec": round(time.perf_counter() - t_start, 1),
-        "details": results,
-    })))
+        "wall_sec": round(wall_sec, 1),
+        "configs": [_config_summary(r) for r in results],
+    }
+    # structural cap: strip fields until the line fits with margin
+    line = json.dumps(_finite(final))
+    if len(line) > 1500:
+        for s in final["configs"]:
+            s.pop("err", None)
+        line = json.dumps(_finite(final))
+    if len(line) > 1500:
+        final["configs"] = [
+            {"name": s["name"], "ok": s["ok"]} for s in final["configs"]]
+        line = json.dumps(_finite(final))
+    if len(line) > 1500:
+        final.pop("configs", None)
+        line = json.dumps(_finite(final))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -39,7 +39,12 @@ def _tune_malloc() -> None:
     page faults run at ~80 MB/s, which made the batch assembly 3x slower
     than the C++ resample it wraps (measured: _load_batch_fused 50.6 ->
     95.9 img/s from this switch alone). Raising M_MMAP_THRESHOLD makes
-    malloc serve them from the arena, where pages stay mapped and warm."""
+    malloc serve them from the arena, where pages stay mapped and warm.
+
+    Only the threshold is raised: forcing M_MMAP_MAX=0 as well would make
+    EVERY process that merely constructs a Loader (eval/predict CLIs,
+    tests) keep all large freed blocks resident forever. The measured win
+    came from the threshold alone."""
     global _MALLOC_TUNED
     if _MALLOC_TUNED:
         return
@@ -47,7 +52,6 @@ def _tune_malloc() -> None:
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
-        libc.mallopt(-4, 0)  # M_MMAP_MAX: never mmap
     except Exception:  # non-glibc platforms: harmless no-op
         pass
 
@@ -82,7 +86,9 @@ class Loader:
         self.num_shards = num_shards if num_shards is not None else jax.process_count()
         self.drop_last = train if drop_last is None else drop_last
         self.epoch = 0
-        self._src_bufs: dict = {}  # per-shape stacked-source reuse buffers
+        # per-shape stacked-source reuse buffers, LRU-bounded by bytes
+        self._src_bufs: dict = {}
+        self._SRC_BUF_BYTES = 1 << 30
         _tune_malloc()
 
     def set_epoch(self, epoch: int) -> None:
@@ -169,10 +175,22 @@ class Loader:
                 )
             key = (len(js), *shape)
             if key not in self._src_bufs:
-                self._src_bufs[key] = (
+                buf = (
                     np.empty((len(js), *shape), np.uint8),
                     np.empty((len(js), h, w), np.int32),
                 )
+                # bound the reuse cache: variable-resolution datasets can
+                # produce many distinct (count, H, W) keys across epochs —
+                # evict least-recently-used buffers past a byte budget
+                self._src_bufs[key] = buf
+                total = sum(a.nbytes + b.nbytes
+                            for a, b in self._src_bufs.values())
+                while total > self._SRC_BUF_BYTES and len(self._src_bufs) > 1:
+                    old = next(iter(self._src_bufs))
+                    a, b = self._src_bufs.pop(old)
+                    total -= a.nbytes + b.nbytes
+            else:
+                self._src_bufs[key] = self._src_bufs.pop(key)  # LRU touch
             ibuf, lbuf = self._src_bufs[key]
             imgs = np.stack([decoded[j][0] for j in js], out=ibuf)
             lbls = np.stack(

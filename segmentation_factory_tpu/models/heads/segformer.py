@@ -144,10 +144,21 @@ class _LevelFuse(nn.Module):
             sc, bi, ra_m, ra_v = _BNRaw(
                 self.features, name="BatchNorm_0")()
             dmask, wcls, bcls = tail
+            # the fused kernel applies the BN itself, so honor any active
+            # set_norm_eps() override and the norm class's momentum default
+            # here (a constructed norm module would pick these up via
+            # __post_init__; the kernel path must ask explicitly)
+            from segmentation_factory_tpu.models.layers.norm import (
+                NORMS,
+                current_norm_eps,
+            )
+
+            norm_cls = NORMS[self.norm]
+            eps = current_norm_eps(getattr(norm_cls, "epsilon", 1e-5))
+            mom = getattr(norm_cls, "momentum", 0.9)
             logits, mu, var = head_tail_train(
-                acc, sc, bi, dmask, wcls, bcls, 1e-5)
+                acc, sc, bi, dmask, wcls, bcls, eps)
             if self.is_mutable_collection("batch_stats"):
-                mom = 0.9  # layers.norm.BatchNorm default
                 ra_m.value = mom * ra_m.value + (1.0 - mom) * mu
                 ra_v.value = mom * ra_v.value + (1.0 - mom) * var
             return logits

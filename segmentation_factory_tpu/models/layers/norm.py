@@ -170,11 +170,13 @@ def set_norm_eps(eps: float):
     Covers raw ``nn.LayerNorm``/``nn.BatchNorm``/``nn.GroupNorm``/
     ``nn.RMSNorm`` construction sites as well as the wrappers above.
     """
+    global _EPS_OVERRIDE
     classes = [nn.LayerNorm, nn.BatchNorm, nn.GroupNorm]
     if hasattr(nn, "RMSNorm"):
         classes.append(nn.RMSNorm)
     classes += [BatchNorm, FrozenBatchNorm, LayerNorm, GroupNorm, GRN]
     originals = {}
+    prev_override = _EPS_OVERRIDE
     try:
         for c in classes:
             orig = c.__post_init__
@@ -186,10 +188,23 @@ def set_norm_eps(eps: float):
                     object.__setattr__(self, "epsilon", eps)
 
             c.__post_init__ = patched
+        _EPS_OVERRIDE = eps
         yield
     finally:
+        _EPS_OVERRIDE = prev_override
         for c, orig in originals.items():
             c.__post_init__ = orig
+
+
+_EPS_OVERRIDE: Optional[float] = None
+
+
+def current_norm_eps(default: float) -> float:
+    """The eps a norm built RIGHT NOW would get: the set_norm_eps() override
+    if one is active, else ``default``. For fused kernels that apply the
+    normalization themselves (ops/pallas_head_tail.py) and therefore never
+    construct a norm module for the patched __post_init__ to adjust."""
+    return _EPS_OVERRIDE if _EPS_OVERRIDE is not None else default
 
 
 def build_norm(name: Optional[str], **kwargs) -> Optional[nn.Module]:

@@ -143,3 +143,47 @@ def test_segformer_head_fused_tail_grads(monkeypatch):
         sc = max(1.0, float(np.abs(b).max()))
         np.testing.assert_allclose(a / sc, b / sc, rtol=3e-5, atol=3e-5,
                                    err_msg=jax.tree_util.keystr(pw))
+
+
+def test_fused_tail_honors_set_norm_eps(monkeypatch):
+    """ADVICE r4: the fused tail used to hard-code eps=1e-5, silently
+    ignoring set_norm_eps() on the fused train path. With a large eps the
+    two paths must still agree (both honoring the override)."""
+    from segmentation_factory_tpu.models.heads.segformer import SegFormerHead
+    from segmentation_factory_tpu.models.layers.norm import (
+        current_norm_eps,
+        set_norm_eps,
+    )
+
+    assert current_norm_eps(1e-5) == 1e-5
+    with set_norm_eps(0.25):
+        assert current_norm_eps(1e-5) == 0.25
+    assert current_norm_eps(1e-5) == 1e-5
+
+    rng = np.random.default_rng(7)
+    feats = [
+        jnp.asarray(rng.normal(size=(2, 16 // s, 16 // s, c)), jnp.float32)
+        for s, c in zip((1, 2, 4, 8), (32, 64, 160, 256))
+    ]
+    head = SegFormerHead(channels=[32, 64, 160, 256], num_classes=5,
+                         embed_dim=128, dropout=0.0, dtype=jnp.float32)
+    v = head.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, feats, train=True)
+
+    def run(tail_on: str):
+        monkeypatch.setenv("SFT_PALLAS_TAIL", tail_on)
+        with set_norm_eps(0.25):
+            if tail_on == "1":
+                with pltpu.force_tpu_interpret_mode():
+                    out, _ = head.apply(v, feats, train=True,
+                                        mutable=["batch_stats"],
+                                        rngs={"dropout": jax.random.PRNGKey(2)})
+            else:
+                out, _ = head.apply(v, feats, train=True,
+                                    mutable=["batch_stats"],
+                                    rngs={"dropout": jax.random.PRNGKey(2)})
+        return np.asarray(out, np.float64)
+
+    classic = run("0")
+    fused = run("1")
+    np.testing.assert_allclose(fused, classic, rtol=3e-5, atol=3e-5)
