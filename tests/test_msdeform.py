@@ -138,3 +138,63 @@ class TestFastPath:
         for gf, gr in zip(g_fast, g_ref):
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestScatterFreeVJP:
+    """The production backward (sort+prefix-sum+searchsorted, no scatter)
+    vs XLA autodiff of the same forward. The autodiff backward emits a
+    scatter-add — the prime suspect in the r4 TPU worker crash (VERDICT r4
+    item 3); the custom VJP is the TPU-shaped equivalent of the reference's
+    atomic col2im (ms_deform_im2col_cuda.cuh:302-921)."""
+
+    def _grads(self, fn, value, locs, w):
+        def loss(v, l, wt):
+            return jnp.sum(fn(v, SHAPES, l, wt) ** 2)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(value, locs, w)
+
+    def test_matches_autodiff_backward(self, monkeypatch):
+        from segmentation_factory_tpu.ops import msdeform
+
+        value, locs, w = make_inputs(seed=11, dtype=np.float32)
+        locs[0, 1] = -2.5  # far OOB: all corners dropped
+        locs[1, 2] = 1.05  # near OOB: pad-ring corners dropped
+        g_sf = self._grads(msdeform.ms_deform_attn_fast, value, locs, w)
+        monkeypatch.setenv("SFT_MSDEFORM_SF_VJP", "0")
+        g_ad = self._grads(msdeform.ms_deform_attn_fast, value, locs, w)
+        for a, b in zip(g_sf, g_ad):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_jit_grad(self):
+        from segmentation_factory_tpu.ops.msdeform import ms_deform_attn_fast
+
+        value, locs, w = make_inputs(seed=12, dtype=np.float32)
+
+        @jax.jit
+        def gradfn(v, l, wt):
+            return jax.grad(
+                lambda v, l, wt: jnp.sum(
+                    ms_deform_attn_fast(v, SHAPES, l, wt) ** 2
+                ),
+                argnums=(0, 1, 2),
+            )(v, l, wt)
+
+        gs = gradfn(value, locs, w)
+        for g in gs:
+            assert np.isfinite(np.asarray(g)).all()
+
+    def test_bf16_value_grad_dtype(self):
+        from segmentation_factory_tpu.ops.msdeform import ms_deform_attn_fast
+
+        value, locs, w = make_inputs(seed=13, dtype=np.float32)
+        vb = jnp.asarray(value, jnp.bfloat16)
+
+        def loss(v, l, wt):
+            return jnp.sum(ms_deform_attn_fast(v, SHAPES, l, wt) ** 2)
+
+        gv, gl, gw = jax.grad(loss, argnums=(0, 1, 2))(
+            vb, jnp.asarray(locs), jnp.asarray(w))
+        assert gv.dtype == jnp.bfloat16
+        assert gl.dtype == jnp.float32 and gw.dtype == jnp.float32
+        assert np.isfinite(np.asarray(gv, np.float32)).all()
