@@ -180,6 +180,7 @@ def bench_config(
     head_kwargs=None,
     nc: int = 19,
     remat: bool = False,
+    ref_anchor: bool = True,
 ):
     """Compile + time one train-step config, emitting milestones as it goes."""
     import jax
@@ -218,7 +219,7 @@ def bench_config(
     # unfused branch is the same network with the same param tree
     # (tests/test_heads.py proves value equality).
     ref_flops_per_step = flops_per_step
-    if head == "segformerhead":
+    if head == "segformerhead" and ref_anchor:
         rkw = dict(head_kwargs or {})
         rkw["fused"] = False
         rstate, rdata, _ = _build_state(backbone, head, batch, img, nc=nc,

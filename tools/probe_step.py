@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--loss", default="ce")
+    ap.add_argument("--backbone", default="mit_b2")
+    ap.add_argument("--head", default="segformerhead")
+    ap.add_argument("--nc", type=int, default=19)
     args = ap.parse_args()
 
     from bench import _build_state
@@ -53,8 +56,8 @@ def main():
     from segmentation_factory_tpu.engine.steps import compute_loss
     from segmentation_factory_tpu.schedule import create_schedule
 
-    state, data, sched = _build_state("mit_b2", "segformerhead", args.batch,
-                                      args.img)
+    state, data, sched = _build_state(args.backbone, args.head, args.batch,
+                                      args.img, nc=args.nc)
     params = state.params
     img0 = data["image"]
     label = data["label"]
@@ -66,7 +69,7 @@ def main():
     # the backbone alone (bound through the model's encoder attribute)
     from segmentation_factory_tpu.models import build_model
 
-    model = build_model("mit_b2", "segformerhead", num_classes=19)
+    model = build_model(args.backbone, args.head, num_classes=args.nc)
 
     def backbone_fwd(c):
         feats = model.apply({"params": params}, c, train=True,
