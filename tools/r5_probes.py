@@ -51,9 +51,60 @@ def main():
     elif which == "synapse_b2":
         r = bench_config("mit_b2_segformer_synapse_224", batch=4, img=224,
                          loss_type="ce", nc=9, k=40)
+    elif which == "infer_argmax":
+        r = _infer_argmax()
     else:
         raise SystemExit(f"unknown probe {which}")
     print(json.dumps(r))
+
+
+def _infer_argmax(batch=16, img=512, k=20, reps=3):
+    """Serving-path probe: the REAL predict dataflow (head-res logits ->
+    fused upsample+argmax -> int class map, infer.predict_step) vs the
+    bench_infer full-res fp32-logits forward. Quantifies what a serving
+    deployment actually gets per chip."""
+    import time
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from segmentation_factory_tpu.models import build_model
+    from segmentation_factory_tpu.ops.pallas_loss import resize_argmax_to
+
+    model = build_model("mit_b2", "segformerhead", num_classes=19)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, img, img, 3)), jnp.float32)
+
+    def k_pred(v, x):
+        def body(c, _):
+            # engine.steps._predict_map dataflow: head-res logits ->
+            # fused upsample+argmax (full-res fp32 logits never hit HBM)
+            logits = model.apply(v, c, train=False, resize_output=False)
+            y = resize_argmax_to(logits, (img, img)).astype(jnp.int32)
+            c = c + 0.0 * jnp.max(y).astype(c.dtype)
+            return c, jnp.sum(y)
+
+        _, ys = jax.lax.scan(body, x, None, length=k)
+        return ys[-1]
+
+    compiled = jax.jit(k_pred).lower(variables, x).compile()
+    float(compiled(variables, x))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = compiled(variables, x)
+        float(y)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times) / k
+    return {"name": "infer_argmax_mit_b2_512_b16",
+            "images_per_sec": round(batch / dt, 2),
+            "ms_per_batch": round(dt * 1e3, 2),
+            "timing_method": f"median of {reps} x {k}-step chained scan, "
+                             "fetch-synced"}
 
 
 if __name__ == "__main__":
