@@ -449,9 +449,11 @@ def preflight() -> dict:
 
 
 # NB on mit_b2_mask2former_512: mask_loss=False (CE through
-# semantic_inference). The Hungarian-matched mask-loss train step runs fine
-# on CPU meshes (tests + dryrun) but crashed this tunnel's TPU worker
-# process at 512^2 in round 3 — documented in PERF.md.
+# semantic_inference). The r3/r4 TPU worker crash in this config's backward
+# was pinned to the pixel decoder's scatter-add gather autodiff and FIXED by
+# the r5 scatter-free custom VJP (ops/msdeform.py::_msda_sf; PERF.md).
+# The config still runs LAST as defense in depth: a residual toolchain
+# fault cannot take the other configs' results with it.
 CONFIGS = {
     "mit_b2_segformer_512_ce": lambda: bench_config(
         "mit_b2_segformer_512_ce", batch=8, img=512, loss_type="ce"),
