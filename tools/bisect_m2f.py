@@ -216,6 +216,96 @@ def piece_full_step():
 
 
 
+def piece_full_step_scan(k: int):
+    """r5: the bench path chains steps in ONE jitted lax.scan — the k10/k20
+    bench runs died there (k10 never returned in 25 min; k20 crashed the
+    worker) while the UNSCANNED full_step completes OK post-VJP-fix. This
+    piece isolates the scan length: the same compiled shape as bench's
+    make_k_steps at length=k."""
+    from bench import _build_state
+    from segmentation_factory_tpu.engine import make_train_step
+
+    state, data, sched = _build_state("mit_b2", "mask2formerhead", B, IMG)
+    step_fn = make_train_step(learning_rate_fn=sched, loss_type="ce")
+    key = jax.random.PRNGKey(1)
+
+    def k_steps(state, data, key):
+        def body(st, _):
+            st, m = step_fn(st, data, key)
+            return st, m["loss"]
+
+        st, losses = jax.lax.scan(body, state, None, length=k)
+        return st, losses[-1]
+
+    import time
+    t0 = time.perf_counter()
+    compiled = jax.jit(k_steps, donate_argnums=0).lower(
+        state, data, key).compile()
+    print(f"scan{k} compiled in {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    state, last = compiled(state, data, key)
+    v = float(last)
+    print(f"full_step_scan{k} OK loss={v} "
+          f"exec {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def piece_full_step_seq(k: int):
+    """Fallback for the k-consecutive-steps criterion WITHOUT lax.scan:
+    k async dispatches of the single jitted train step (donated state),
+    one value fetch at the end. Also a valid fetch-synced timing method:
+    dispatch is async, so total wall = k*step + one RTT."""
+    import time
+
+    from bench import _build_state
+    from segmentation_factory_tpu.engine import make_train_step
+
+    state, data, sched = _build_state("mit_b2", "mask2formerhead", B, IMG)
+    step = jax.jit(make_train_step(learning_rate_fn=sched, loss_type="ce"),
+                   donate_argnums=0)
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, data, key)  # compile + warm
+    print("seq warm loss", float(m["loss"]), flush=True)
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, m = step(state, data, jax.random.fold_in(key, i))
+        v = float(m["loss"])
+        dt = (time.perf_counter() - t0) / k
+        print(f"full_step_seq{k} rep{rep} OK loss={v} "
+              f"{dt * 1e3:.2f} ms/step ({B / dt:.2f} img/s)", flush=True)
+
+
+def piece_pixdec_bwd_scan(k: int):
+    """Scan-of-k of the pixel-decoder f+b alone (narrows a scan-program
+    fault to the pixel decoder vs the rest of the step)."""
+    rng = np.random.default_rng(0)
+    feats = _feats(rng)
+    mod = _pixdec()
+    v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), feats))()
+
+    def loss_fn(params, scale):
+        mf, ms = mod.apply({"params": params}, jax.tree_util.tree_map(
+            lambda f: f * scale, feats))
+        return (jnp.sum(mf.astype(jnp.float32) ** 2)
+                + sum(jnp.sum(m.astype(jnp.float32) ** 2) for m in ms))
+
+    grad = jax.value_and_grad(loss_fn)
+
+    def k_steps(params):
+        def body(c, _):
+            l, g = grad(params, c)
+            leaves = jax.tree_util.tree_leaves(g)
+            return c + l * 1e-20 + sum(
+                jnp.sum(jnp.abs(t.astype(jnp.float32))) * 1e-20
+                for t in leaves), l
+
+        c, ls = jax.lax.scan(body, jnp.float32(1.0), None, length=k)
+        return ls[-1]
+
+    out = jax.jit(k_steps)(v["params"])
+    print(f"pixdec_bwd_scan{k} OK", float(out), flush=True)
+
+
 def piece_msdeform():
     """The deform patch-gather alone at the pixel-decoder's 512^2 shapes
     (3 levels /8,/16,/32, dim 256, 8 heads, 4 points) — r4 narrowing: the
@@ -281,5 +371,9 @@ def piece_msdeform_bwd():
 
 if __name__ == "__main__":
     piece = sys.argv[1]
+    # scan/seq pieces take a trailing length arg: `full_step_scan 2`
     fn = globals()[f"piece_{piece}"]
-    fn()
+    if len(sys.argv) > 2:
+        fn(int(sys.argv[2]))
+    else:
+        fn()

@@ -51,6 +51,19 @@ def main():
     elif which == "synapse_b2":
         r = bench_config("mit_b2_segformer_synapse_224", batch=4, img=224,
                          loss_type="ce", nc=9, k=40)
+    elif which == "synapse_b32":
+        # supplementary capability number: the pinned 224^2 b4 is
+        # fixed-overhead-dominated on one chip; b32 shows the op mix's
+        # real per-chip rate (labeled supplementary in PERF.md)
+        r = bench_config("mit_b2_segformer_synapse_224_b32", batch=32,
+                         img=224, loss_type="ce", nc=9, k=40)
+    elif which == "m2f_k20":
+        # VERDICT r4 #3 done-criterion: K>=20 CONSECUTIVE M2F train steps
+        # complete on the real chip at 512^2 (one 20-step chained scan, not
+        # repeated shorter programs)
+        r = bench_config("mit_b2_mask2former_512_k20", batch=4, img=512,
+                         loss_type="ce", k=20, reps=3,
+                         head="mask2formerhead", ref_anchor=False)
     elif which == "infer_argmax":
         r = _infer_argmax()
     else:
