@@ -300,7 +300,21 @@ def _bwd_rule(scales, tile, _, g):
         for s in scales
     )
     th = tile
-    if g.shape[1] % th == 0 and all(th % s == 0 for s in scales):
+    # Scoped-vmem guard (observed live at 224^2 b32 inside a full train
+    # step): with few row-tiles XLA stack-allocates the kernel's whole
+    # f32 output tuple in vmem — Σ(dz + halo) ≈ 101 MB blew the 100 MB
+    # scoped limit and killed the enclosing compile. The many-tile
+    # regimes (512²/1024² flagships) allocate in HBM and are unaffected;
+    # route the small-spatial/large-batch corner to the XLA twin, whose
+    # tensors there are small anyway.
+    nh = g.shape[1] // th
+    est_stack = sum(
+        (int(np.prod(zs)) + zs[0] * 2 * nh * zs[2] * zs[3]) * 4
+        for zs in shapes
+    )
+    vmem_risky = nh <= 4 and est_stack > 90 * 1024 * 1024
+    if (g.shape[1] % th == 0 and all(th % s == 0 for s in scales)
+            and not vmem_risky):
         return dz1, _backward(g, shapes, scales, th)
     dsmalls = tuple(
         jax.vjp(lambda z: _xla_upsample(z, s),

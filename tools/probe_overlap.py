@@ -84,6 +84,84 @@ def _ilv_forward(q, k, v, scale, tile_q):
     )(q, k, v)
 
 
+def _ilv_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                    scale, sub):
+    """Interleaved twin of the shipped _bwd_kernel: two q-subtiles in
+    straight-line code so softmax/ds (VPU) of one subtile has the other's
+    matmuls (MXU) adjacent in the scheduling window."""
+    i = pl.program_id(1)
+    k = k_ref[0]
+    v = v_ref[0]
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dot = functools.partial(
+        jax.lax.dot_general, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    halves = []
+    qs = [q_ref[0, :sub], q_ref[0, sub:]]
+    dos = [do_ref[0, :sub].astype(jnp.float32),
+           do_ref[0, sub:].astype(jnp.float32)]
+    ss = [dot(qh, k, (((1,), (1,)), ((), ()))) * scale for qh in qs]
+    for s, do in zip(ss, dos):
+        p = _softmax_rows(s)
+        dp = dot(do, vf, (((1,), (1,)), ((), ())))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        halves.append((p, ds, do))
+    dqs = [dot(ds, kf, (((1,), (0,)), ((), ()))) * scale
+           for (_, ds, _) in halves]
+    dq_ref[0, :sub] = dqs[0].astype(dq_ref.dtype)
+    dq_ref[0, sub:] = dqs[1].astype(dq_ref.dtype)
+    dk_acc = sum(
+        dot(ds, qh.astype(jnp.float32), (((0,), (0,)), ((), ()))) * scale
+        for (_, ds, _), qh in zip(halves, qs))
+    dv_acc = sum(
+        dot(p, do, (((0,), (0,)), ((), ())))
+        for (p, _, do) in halves)
+    dk_ref[0] += dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] += dv_acc.astype(dv_ref.dtype)
+
+
+def _ilv_backward(q, k, v, do, scale, tile_q):
+    bh, n, d = q.shape
+    m = k.shape[1]
+    return pl.pallas_call(
+        functools.partial(_ilv_bwd_kernel, scale=scale, sub=tile_q // 2),
+        grid=(bh, n // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, m, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+    )(q, k, v, do)
+
+
 def time_fn(fn, args, k, reps=5):
     def k_steps(x):
         def body(c, _):
@@ -147,6 +225,42 @@ def main():
             print(f"  ilv tile={total:5d}: {dt:7.3f} ms "
                   f"({mm_tf / (dt * 1e-3) / 1e12:5.1f} TF/s)  "
                   f"vs shipped {dt0 / dt:.2f}x  maxerr={err:.2e}", flush=True)
+
+        # ---- backward: shipped vs interleaved ---------------------------
+        do = jnp.asarray(rng.normal(size=(bh, n, _D)), jnp.bfloat16)
+        btile = pa._fit_tile(min(1024, n), m, pa._BWD_COPIES)
+        bw_tf = 2 * bh * n * m * _D * 5
+
+        def ship_bwd(x):
+            dq, dk, dv = pa._backward(x, kk, v, do, scale, btile)
+            return dq + 0.0 * (jnp.sum(dk[..., :1, :1]).astype(dq.dtype)
+                               + jnp.sum(dv[..., :1, :1]).astype(dq.dtype))
+
+        refs = [np.asarray(t, np.float32)
+                for t in jax.jit(lambda x: pa._backward(
+                    x, kk, v, do, scale, btile))(q)]
+        dtb0 = time_fn(ship_bwd, q, args.k)
+        print(f"  shipped bwd tile={btile:5d}: {dtb0:7.3f} ms "
+              f"({bw_tf / (dtb0 * 1e-3) / 1e12:5.1f} TF/s)", flush=True)
+        for total in (btile, 2 * btile):
+            if n % total:
+                continue
+
+            def ilv_bwd(x, t=total):
+                dq, dk, dv = _ilv_backward(x, kk, v, do, scale, t)
+                return dq + 0.0 * (jnp.sum(dk[..., :1, :1]).astype(dq.dtype)
+                                   + jnp.sum(dv[..., :1, :1]).astype(dq.dtype))
+
+            outs = [np.asarray(t_, np.float32)
+                    for t_ in jax.jit(lambda x, t=total: _ilv_backward(
+                        x, kk, v, do, scale, t))(q)]
+            err = max(float(np.max(np.abs(a - b)))
+                      for a, b in zip(outs, refs))
+            dtb = time_fn(ilv_bwd, q, args.k)
+            print(f"  ilv bwd tile={total:5d}: {dtb:7.3f} ms "
+                  f"({bw_tf / (dtb * 1e-3) / 1e12:5.1f} TF/s)  "
+                  f"vs shipped {dtb0 / dtb:.2f}x  maxerr={err:.2e}",
+                  flush=True)
 
 
 if __name__ == "__main__":
